@@ -1,0 +1,138 @@
+"""Typed configuration for mimm_tpu.
+
+Mirrors the reference's two argparse builders (reference:
+``helpers.py:7-82`` ``construct_dataset_parameters`` and
+``helpers.py:84-144`` ``construct_training_parameters``) so CLI invocations
+of the reference translate 1:1, but as frozen dataclasses: sweeps are
+expressed as explicit config products (``replace(cfg, ...)``) instead of
+in-place Namespace mutation (the reference mutates ``args.save_directory``
+cumulatively inside sweep loops — ``train.py:34,66,94`` — which we do not
+reproduce).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _default(path: str) -> str:
+    return os.path.join(_REPO_DIR, path)
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Dataset download / population flags (reference helpers.py:7-82)."""
+
+    download_user: str = "user"
+    download_password: str = "..."
+    total_amount: int = 1_000_000
+    amount_for_training: int = 9_000
+    amount_for_testing: int = 1_000
+
+    data_dir: str = _default("full_data_set/")
+    image_storage_dir: str = _default("full_data_set/images/")
+    text_storage_dir: str = _default("full_data_set/text/")
+
+    training_data_dir: str = _default("training_data/")
+    training_image_dir: str = _default("training_data/images/")
+    training_text_dir: str = _default("training_data/text/")
+    training_dataset_labeldata: str = _default("training_data/training_label_negbio.csv")
+
+    testing_data_dir: str = _default("testing_data/")
+    testing_image_dir: str = _default("testing_data/images/")
+    testing_text_dir: str = _default("testing_data/text/")
+    testing_dataset_labeldata: str = _default("testing_data/testing_label_negbio.csv")
+
+    sub_folder: str = "p10"
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Training flags (reference helpers.py:84-144), plus TPU-native knobs.
+
+    Field names and defaults match the reference argparse flags so that the
+    CLI surface is drop-in compatible.  TPU-specific additions are grouped at
+    the bottom and have no reference counterpart.
+    """
+
+    image_dir: str = _default("full_data_set/images/")
+    text_data_dir: str = _default("training_data/text/")
+    bert_pretrained_dir: str = _default("bert_pretrain_all_notes_150000")
+    bert_config_name: str = "bert_config.json"
+    save_directory: str = _default("save_dir")
+    dataset_metadata: str = _default("training_data/training_label_negbio.csv")
+    dataset_disease_stats: str = _default("training_data/disease_stats.csv")
+
+    batch_size: int = 64
+    data_loader_workers: int = 32
+    num_train_epochs: int = 20
+    num_train_epochs_classifier: int = 100
+    mi_estimator: str = "dv"  # 'dv' | 'infonce'
+    init_lr: float = 1e-4
+    max_seq_length: int = 320
+    img_size: int = 256
+    output_channels: int = 1
+    image_model_name: str = "resnet256_6_2_1"
+    disease_label: str = "Pneumonia"
+    optimizer: str = "Adam"
+
+    # ---- TPU-native knobs (no reference counterpart) ----
+    # Random seed for params/augmentation/shuffling (reference relies on
+    # unseeded global RNGs; we are deterministic by default).
+    seed: int = 0
+    # Compute dtype for the encoders ('bfloat16' keeps the MXU fed; params
+    # and loss stay float32).
+    compute_dtype: str = "bfloat16"
+    # Data-parallel negatives: when True, embeddings are all-gathered across
+    # the 'data' mesh axis so the critic sees the *global* batch (the
+    # reference is single-device and only sees the local batch).
+    global_negatives: bool = True
+    # Mesh shape, e.g. {'data': 8} or {'data': 4, 'model': 2}.
+    mesh_shape: tuple = ()
+    # Text-tower LR (the reference hard-codes 2e-5 at main_utils.py:167).
+    bert_lr: float = 2e-5
+    # Warmup fraction of total steps (reference main_utils.py:171: 0.1).
+    warmup_fraction: float = 0.1
+    # Host pipeline prefetch depth (device_put double buffering).
+    prefetch: int = 2
+    # Use the fused Pallas pairwise-critic kernel instead of the XLA path.
+    use_pallas_critic: bool = True
+
+    def replace(self, **kw) -> "TrainingConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _add_fields(parser: argparse.ArgumentParser, cfg) -> None:
+    for f in dataclasses.fields(cfg):
+        if f.name == "mesh_shape":
+            continue
+        arg_type = type(getattr(cfg, f.name))
+        if arg_type is bool:
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=getattr(cfg, f.name))
+        else:
+            parser.add_argument(f"--{f.name}", type=arg_type, default=getattr(cfg, f.name))
+
+
+def construct_training_parameters(argv: Optional[Sequence[str]] = None) -> TrainingConfig:
+    """CLI-compatible with reference helpers.py:84-144."""
+    cfg = TrainingConfig()
+    parser = argparse.ArgumentParser()
+    _add_fields(parser, cfg)
+    ns = parser.parse_args(argv)
+    return TrainingConfig(**{k: v for k, v in vars(ns).items()})
+
+
+def construct_dataset_parameters(argv: Optional[Sequence[str]] = None) -> DatasetConfig:
+    """CLI-compatible with reference helpers.py:7-82."""
+    cfg = DatasetConfig()
+    parser = argparse.ArgumentParser()
+    _add_fields(parser, cfg)
+    ns = parser.parse_args(argv)
+    return DatasetConfig(**{k: v for k, v in vars(ns).items()})

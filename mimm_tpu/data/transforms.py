@@ -1,0 +1,150 @@
+"""Image transform pipeline with reference parity.
+
+Reference chain (helpers.py:146-161, duplicated at main_utils.py:35-44):
+
+    int16 cast -> ToPILImage -> RandomAffine(deg ±20, translate ±10%)
+    -> CenterCrop(img_size) -> float32 -> divide by max(1e-3, img.max())
+
+The reference affines the FULL-resolution CXR (~2544x3056, ~8M pixels) and
+then keeps only the central 256x256 crop.  Both PIL and torchvision
+implement affine by inverse-mapping every *output* pixel, so transforming
+pixels that the crop immediately discards is pure waste.  ``affine_crop``
+below inverse-maps only the img_size^2 output grid (65k pixels — ~120x
+less work), using the same matrix convention and nearest-neighbor rounding
+as torchvision's RandomAffine(interpolation=NEAREST, fill=0); the result is
+pixel-identical (tests/test_transforms.py checks vs torchvision).
+
+Randomness: torchvision draws angle ~ U(-20, 20) and max-translations
+``dx ~ U(-0.1, 0.1) * W`` rounded (transforms.RandomAffine.get_params); we
+draw from the same distributions with numpy Generators so the pipeline is
+deterministic per (seed, epoch, index).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def sample_affine_params(rng: np.random.Generator, width: int, height: int,
+                         degrees: Tuple[float, float] = (-20.0, 20.0),
+                         translate: Tuple[float, float] = (0.1, 0.1)
+                         ) -> Tuple[float, int, int]:
+    """Draw (angle, tx, ty) exactly like torchvision RandomAffine.get_params."""
+    angle = float(rng.uniform(degrees[0], degrees[1]))
+    max_dx = translate[0] * width
+    max_dy = translate[1] * height
+    tx = int(round(float(rng.uniform(-max_dx, max_dx))))
+    ty = int(round(float(rng.uniform(-max_dy, max_dy))))
+    return angle, tx, ty
+
+
+def _inverse_affine_matrix(center: Tuple[float, float], angle: float,
+                           translate: Tuple[float, float]) -> Tuple[float, ...]:
+    """Inverse affine matrix, torchvision convention (scale=1, shear=0):
+    maps output (x, y) -> input coordinates."""
+    rot = math.radians(angle)
+    cx, cy = center
+    tx, ty = translate
+    a = math.cos(rot)
+    b = math.sin(rot)
+    # inverse of T(c+t) R(rot) T(-c):  R^{-1} = [[a, b], [-b, a]]
+    m0, m1 = a, b
+    m3, m4 = -b, a
+    m2 = m0 * (-cx - tx) + m1 * (-cy - ty) + cx
+    m5 = m3 * (-cx - tx) + m4 * (-cy - ty) + cy
+    return m0, m1, m2, m3, m4, m5
+
+
+def affine_crop(img: np.ndarray, angle: float, tx: int, ty: int,
+                out_size: int) -> np.ndarray:
+    """Fused RandomAffine(NEAREST, fill=0) + CenterCrop: inverse-map only the
+    central out_size x out_size grid of the affined image.
+
+    Equivalent to the reference's full-image affine followed by CenterCrop
+    (helpers.py:154-155) but O(out_size^2) instead of O(H*W).
+    """
+    h, w = img.shape[:2]
+    # torchvision rotates about the image center ((w-1)/2? no: (w*0.5, h*0.5)
+    # in float; F.affine uses [w*0.5+0.5, h*0.5+0.5] matrix center with -0.5
+    # pixel offset handled below — empirically validated vs torchvision in
+    # tests/test_transforms.py.
+    cx, cy = w * 0.5, h * 0.5
+    m0, m1, m2, m3, m4, m5 = _inverse_affine_matrix((cx, cy), angle, (tx, ty))
+
+    # CenterCrop offsets (torchvision: round((H - out) / 2) via int rounding)
+    top = int(round((h - out_size) / 2.0))
+    left = int(round((w - out_size) / 2.0))
+
+    ys, xs = np.meshgrid(np.arange(out_size) + top, np.arange(out_size) + left,
+                         indexing="ij")
+    # PIL samples at pixel centers: (x + 0.5, y + 0.5), then floors.
+    fx = xs + 0.5
+    fy = ys + 0.5
+    sx = np.floor(m0 * fx + m1 * fy + m2).astype(np.int64)
+    sy = np.floor(m3 * fx + m4 * fy + m5).astype(np.int64)
+
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    out = img[sy, sx]
+    return np.where(valid, out, 0).astype(img.dtype)
+
+
+def center_crop(img: np.ndarray, out_size: int) -> np.ndarray:
+    """CenterCrop with zero padding when the image is smaller (torchvision
+    semantics)."""
+    h, w = img.shape[:2]
+    if h < out_size or w < out_size:
+        ph, pw = max(out_size - h, 0), max(out_size - w, 0)
+        img = np.pad(img, ((ph // 2 + ph % 2, ph // 2), (pw // 2 + pw % 2, pw // 2)))
+        h, w = img.shape[:2]
+    top = int(round((h - out_size) / 2.0))
+    left = int(round((w - out_size) / 2.0))
+    return img[top:top + out_size, left:left + out_size]
+
+
+def max_normalize(img: np.ndarray) -> np.ndarray:
+    """float32 cast + per-image divide by max(1e-3, img.max())
+    (helpers.py:156-159)."""
+    img = img.astype(np.float32)
+    return img / max(1e-3, float(img.max()))
+
+
+def reference_transform(img: np.ndarray, rng: Optional[np.random.Generator],
+                        img_size: int,
+                        train: bool = True) -> np.ndarray:
+    """The full reference augmentation chain on one grayscale image array.
+
+    Returns (img_size, img_size) float32 in [0, 1].  With ``train=False``
+    (or rng None) the affine is skipped and only CenterCrop+normalize run —
+    the deterministic eval path.
+    """
+    if img.ndim == 3:
+        img = img[..., 0]
+    if train and rng is not None:
+        h, w = img.shape[:2]
+        angle, tx, ty = sample_affine_params(rng, w, h)
+        img = affine_crop(img.astype(np.int16), angle, tx, ty, img_size)
+    else:
+        img = center_crop(img.astype(np.int16), img_size)
+    return max_normalize(img)
+
+
+def reference_transform_pil(img: np.ndarray, angle: float, tx: int, ty: int,
+                            img_size: int) -> np.ndarray:
+    """Literal PIL-based reference chain (for parity tests ONLY — slow):
+    full-image PIL affine with NEAREST + fill 0, then center crop, then
+    normalize.  Uses torchvision if available to guarantee the golden path.
+    """
+    import torchvision.transforms.functional as F
+    from PIL import Image
+
+    pil = Image.fromarray(img.astype(np.int16), mode="I;16") if img.dtype != np.uint8 \
+        else Image.fromarray(img)
+    pil = F.affine(pil, angle=angle, translate=(tx, ty), scale=1.0, shear=(0.0, 0.0),
+                   interpolation=F.InterpolationMode.NEAREST, fill=0)
+    pil = F.center_crop(pil, [img_size, img_size])
+    return max_normalize(np.array(pil))

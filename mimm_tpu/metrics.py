@@ -1,0 +1,135 @@
+"""Metrics, logging, and plots.
+
+Reference parity:
+* ``Plot_Training`` — multi-series matplotlib PNG (utils.py:29-40).
+* ``gdv_calculation`` — the "generalised discrimination value" embedding
+  separability metric (validate.py:16-49): z-score each class, mean
+  intra-class and inter-class pairwise euclidean distances combined with a
+  1/sqrt(N) dimension-invariance factor.  Note the reference divides by
+  ``total_items * (total_items - 1)`` where ``total_items`` counts *scalar
+  elements* (N*D), not rows — we reproduce that exactly, since the
+  committed GDV baselines (~1e-6, BASELINE.md) depend on it.
+* ``MetricWriter`` — structured per-step/epoch scalars to JSONL plus a
+  reference-format ``.log`` file (``Epoch N loss = ...`` lines diffable
+  against ``save_dir/*/training_MI.log``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Plots (reference utils.py:29-40)
+# ---------------------------------------------------------------------------
+
+def Plot_Training(xlabel: str, ylabel: str, title: str, data: Sequence[Sequence[float]],
+                  dataLabel: Sequence[str], out_imgage_file: str) -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    plt.xlabel(xlabel)
+    plt.ylabel(ylabel)
+    plt.title(title)
+    for series, label in zip(data, dataLabel):
+        plt.plot(list(series), label=label)
+    plt.legend()
+    plt.savefig(out_imgage_file)
+    plt.clf()
+
+
+# ---------------------------------------------------------------------------
+# GDV separability (reference validate.py:16-49)
+# ---------------------------------------------------------------------------
+
+def z_scored_transform(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    mean = x.mean(axis=0)
+    std = x.std(axis=0)
+    std = np.where(std == 0.0, 1.0, std)
+    return (x - mean) / std
+
+
+def _pairwise_euclidean(a: np.ndarray, b: Optional[np.ndarray] = None) -> np.ndarray:
+    b = a if b is None else b
+    aa = (a * a).sum(1)[:, None]
+    bb = (b * b).sum(1)[None, :]
+    d2 = np.maximum(aa + bb - 2.0 * (a @ b.T), 0.0)
+    return np.sqrt(d2)
+
+
+def mean_intra_class_distance(items: np.ndarray) -> float:
+    d = _pairwise_euclidean(items)
+    total_items = items.shape[0] * items.shape[1]  # reference: element count
+    return float(d.sum() * 2 / (total_items * (total_items - 1)))
+
+
+def mean_inter_class_distance(source: np.ndarray, dest: np.ndarray) -> float:
+    d = _pairwise_euclidean(source, dest)
+    ts = source.shape[0] * source.shape[1]
+    td = dest.shape[0] * dest.shape[1]
+    return float(d.sum() / (ts * td))
+
+
+def gdv_calculation(positive_embeddings, negative_embeddings) -> float:
+    """Generalised discrimination value (reference validate.py:37-49)."""
+    pos = z_scored_transform(np.asarray(positive_embeddings))
+    neg = z_scored_transform(np.asarray(negative_embeddings))
+    pos_intra = mean_intra_class_distance(pos)
+    neg_intra = mean_intra_class_distance(neg)
+    inter = mean_inter_class_distance(pos, neg)
+    dim_inv = 1.0 / math.sqrt(len(pos) + len(neg))
+    return dim_inv * ((pos_intra + neg_intra) / 2.0 - inter)
+
+
+# ---------------------------------------------------------------------------
+# Structured metric writer
+# ---------------------------------------------------------------------------
+
+class MetricWriter:
+    """Writes scalars to <save_dir>/<name>.jsonl and mirrors epoch summaries
+    into a reference-format python logger (log-file diffable vs the
+    reference's committed trajectories)."""
+
+    def __init__(self, save_directory: str, name: str = "metrics",
+                 log_filename: Optional[str] = None):
+        os.makedirs(save_directory, exist_ok=True)
+        self.save_directory = save_directory
+        self.jsonl_path = os.path.join(save_directory, f"{name}.jsonl")
+        self._fh = open(self.jsonl_path, "a")
+        self.logger = logging.getLogger(f"mimm_tpu.{name}")
+        if log_filename is not None:
+            handler = logging.FileHandler(os.path.join(save_directory, log_filename))
+            handler.setFormatter(logging.Formatter(
+                "%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M"))
+            self.logger.addHandler(handler)
+            self.logger.setLevel(logging.INFO)
+
+    def write(self, step: Optional[int] = None, **scalars) -> None:
+        rec = {"time": time.time()}
+        if step is not None:
+            rec["step"] = step
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
+                    for k, v in scalars.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def epoch_summary(self, epoch: int, loss: float, seconds: float,
+                      checkpoint_path: Optional[str] = None) -> None:
+        """Reference log-line format (main_utils.py:251-253)."""
+        self.logger.info(f"  Epoch {epoch} loss = {loss:.5f}")
+        self.logger.info(f"  Epoch {epoch} took {seconds:.3f} s")
+        if checkpoint_path:
+            self.logger.info(f"  Epoch {epoch} checkpoint saved in {checkpoint_path}")
+        self.write(epoch=epoch, epoch_loss=loss, epoch_seconds=seconds)
+
+    def close(self) -> None:
+        self._fh.close()

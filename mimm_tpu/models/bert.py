@@ -1,0 +1,190 @@
+"""TextBert — BERT text encoder with a pooled-[CLS] head (flax.linen).
+
+Capability parity with the reference (``mutual_info_img_txt/model.py:54-105``):
+a pytorch_transformers-1.0.0-style BertModel (post-LayerNorm encoder, gelu,
+learned position + token-type embeddings, tanh pooler over [CLS]) followed
+by dropout and a linear classifier head.  ``__call__`` returns
+``(pooled_output, logits)`` exactly like the reference forward
+(model.py:68-81).
+
+TPU-first: attention is a single ``jnp.einsum`` chain that XLA fuses and
+tiles onto the MXU; compute dtype is configurable (bfloat16 for training);
+no data-dependent control flow, static ``max_seq_length`` shapes.
+
+Weight ingestion from pytorch_transformers-format checkpoints
+(``pytorch_model.bin``) is in mimm_tpu.checkpoint (the reference's required
+``bert_pretrain_all_notes_150000`` dir is absent from its repo —
+SURVEY.md C13 — so random init must also be supported, as here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    """Mirror of pytorch_transformers BertConfig fields used by the reference."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+    num_classes: int = 1
+
+    @classmethod
+    def from_json_file(cls, path: str, **overrides) -> "BertConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(cls)}
+        raw = {k: v for k, v in raw.items() if k in known}
+        if "vocab_size_or_config_json_file" in raw:  # v1.0.0 field name
+            raw["vocab_size"] = raw.pop("vocab_size_or_config_json_file")
+        raw.update(overrides)
+        return cls(**raw)
+
+
+def _bert_init(stddev):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, *, deterministic: bool):
+        cfg = self.config
+        h, nh = cfg.hidden_size, cfg.num_attention_heads
+        hd = h // nh
+        init = _bert_init(cfg.initializer_range)
+        dense = lambda name: nn.Dense(h, dtype=self.dtype, kernel_init=init, name=name)
+        q = dense("query")(hidden).reshape(hidden.shape[0], -1, nh, hd)
+        k = dense("key")(hidden).reshape(hidden.shape[0], -1, nh, hd)
+        v = dense("value")(hidden).reshape(hidden.shape[0], -1, nh, hd)
+        scores = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
+        scores = scores + attn_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+        ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(hidden.shape[0], -1, h)
+        return ctx
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, *, deterministic: bool):
+        cfg = self.config
+        init = _bert_init(cfg.initializer_range)
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                                       name=name)
+        drop = nn.Dropout(cfg.hidden_dropout_prob)
+
+        attn_out = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
+            hidden, attn_bias, deterministic=deterministic)
+        attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                            name="attention_output")(attn_out)
+        attn_out = drop(attn_out, deterministic=deterministic)
+        hidden = ln("attention_layernorm")(hidden + attn_out)
+
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
+                         name="intermediate")(hidden)
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                       name="output")(inter)
+        out = drop(out, deterministic=deterministic)
+        return ln("output_layernorm")(hidden + out)
+
+
+class BertModel(nn.Module):
+    """Post-LN BERT encoder + tanh pooler (pytorch_transformers 1.0.0 layout)."""
+
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 *, deterministic: bool = True):
+        cfg = self.config
+        init = _bert_init(cfg.initializer_range)
+        b, s = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=init,
+                        dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(s)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=init, dtype=self.dtype,
+                       name="position_embeddings")(pos_ids)
+        tok = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=init,
+                       dtype=self.dtype, name="token_type_embeddings")(token_type_ids)
+        hidden = word + pos + tok
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="embeddings_layernorm")(hidden)
+        hidden = nn.Dropout(cfg.hidden_dropout_prob)(hidden, deterministic=deterministic)
+
+        # (B, 1, 1, S) additive mask, -10000 on padding (pytorch_transformers parity)
+        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(self.dtype)) * -10000.0
+
+        for i in range(cfg.num_hidden_layers):
+            hidden = BertLayer(cfg, dtype=self.dtype, name=f"layer{i}")(
+                hidden, attn_bias, deterministic=deterministic)
+
+        cls = hidden[:, 0]
+        pooled = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                          name="pooler")(cls)
+        pooled = jnp.tanh(pooled)
+        return hidden, pooled
+
+
+class TextBert(nn.Module):
+    """BertModel -> dropout -> classifier head; returns (pooled, logits)
+    (reference model.py:54-89)."""
+
+    config: BertConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
+                 *, deterministic: bool = True):
+        _, pooled = BertModel(self.config, dtype=self.dtype, name="bert")(
+            input_ids, token_type_ids, attention_mask, deterministic=deterministic)
+        pooled = pooled.astype(jnp.float32)
+        dropped = nn.Dropout(self.config.hidden_dropout_prob)(
+            pooled, deterministic=deterministic)
+        logits = nn.Dense(self.config.num_classes,
+                          kernel_init=_bert_init(self.config.initializer_range),
+                          name="classifier")(dropped)
+        return pooled, logits
+
+
+def build_bert_model(bert_pretrained_dir: str, bert_config_name: str,
+                     output_channels: int, dtype: Any = jnp.float32):
+    """Factory matching reference build_bert_model (model.py:92-105):
+    reads ``bert_config.json`` from the pretrained dir and injects
+    ``num_classes``.  Returns (module, config); params come from
+    checkpoint.load_bert_pytorch_bin or module.init."""
+    config_path = os.path.join(bert_pretrained_dir, bert_config_name)
+    config = BertConfig.from_json_file(config_path, num_classes=output_channels)
+    return TextBert(config, dtype=dtype), config
