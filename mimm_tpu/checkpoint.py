@@ -104,8 +104,13 @@ def _conv(w: np.ndarray) -> np.ndarray:
 
 
 def _deconv(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d (I,O,KH,KW) -> flax ConvTranspose (KH,KW,I,O)."""
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+    """torch ConvTranspose2d (I,O,KH,KW) -> flax ConvTranspose (KH,KW,I,O).
+
+    torch's conv_transpose is the *gradient* of conv (spatially flipped
+    kernel); flax's ConvTranspose(transpose_kernel=False) is a fractionally
+    strided conv with an unflipped kernel, so the spatial dims must be
+    reversed during conversion (validated in tests/test_models.py)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _conv_back(w: np.ndarray) -> np.ndarray:
@@ -113,7 +118,7 @@ def _conv_back(w: np.ndarray) -> np.ndarray:
 
 
 def _deconv_back(w: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+    return np.ascontiguousarray(np.transpose(w[::-1, ::-1], (2, 3, 0, 1)))
 
 
 def _put(tree: dict, path: List[str], value) -> None:

@@ -1,0 +1,136 @@
+"""Optimizers with bit-level parity to the reference's update rules.
+
+The reference MI trainer uses three optimizers (main_utils.py:151-172):
+
+* ``torch.optim.Adam(lr=init_lr)`` for the image tower and the MI
+  discriminator — ``optax.adam(eps_root=0)`` is algebraically identical
+  (torch: ``p -= lr/bc1 * m / (sqrt(v)/sqrt(bc2) + eps)`` ==
+  optax: ``p -= lr * (m/bc1) / (sqrt(v/bc2) + eps)``).
+* ``pytorch_transformers.AdamW(lr=2e-5, correct_bias=False)`` with
+  weight-decay 0.1 on all params except bias/LayerNorm, under a
+  ``WarmupLinearSchedule`` over 10% of total steps.  pytorch_transformers
+  1.0.0 AdamW differs from optax.adamw in two ways we must reproduce:
+  (a) ``correct_bias=False`` skips bias correction entirely, and
+  (b) decoupled weight decay is applied with the *base* lr times the
+  schedule multiplier — same as the adam step's lr (``p -= lr*wd*p``).
+
+The classifier trainer (main_utils.py:341-346) uses Adam or
+``SGD(weight_decay=1e-08, momentum=9e-4, nesterov=True)`` with
+``ExponentialLR(gamma=0.9)`` stepped per epoch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def adam_torch(learning_rate) -> optax.GradientTransformation:
+    """torch.optim.Adam default-parity (betas 0.9/0.999, eps 1e-8)."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
+
+
+def warmup_linear_schedule(base_lr: float, warmup_steps: float, t_total: int):
+    """pytorch_transformers 1.0.0 WarmupLinearSchedule: linear 0->1 over
+    ``warmup_steps`` then linear 1->0 until ``t_total``.  The multiplier is
+    evaluated at the number of *completed* optimizer steps, so the first
+    update uses lr == 0 exactly like torch LambdaLR (reference
+    main_utils.py:170-172 passes warmup_steps=0.1*total)."""
+    warmup = float(warmup_steps)
+
+    def schedule(count):
+        count = jnp.asarray(count, jnp.float32)
+        warm = count / jnp.maximum(1.0, warmup)
+        decay = jnp.maximum(0.0, (t_total - count) / jnp.maximum(1.0, t_total - warmup))
+        return base_lr * jnp.where(count < warmup, warm, decay)
+
+    return schedule
+
+
+class _AdamWHFState(NamedTuple):
+    count: jax.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def adamw_hf(learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+             weight_decay: float = 0.0, correct_bias: bool = False,
+             mask=None) -> optax.GradientTransformation:
+    """pytorch_transformers 1.0.0 ``AdamW`` (reference main_utils.py:166-168).
+
+    ``mask``: pytree-prefix (or callable params->bool pytree) selecting
+    parameters that receive weight decay — the reference excludes any param
+    whose name contains 'bias' or 'LayerNorm' (main_utils.py:158-165).
+    """
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return _AdamWHFState(jnp.zeros([], jnp.int32), zeros,
+                             jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("adamw_hf requires params")
+        count = state.count + 1
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        if correct_bias:
+            c = count.astype(jnp.float32)
+            step_size = lr * jnp.sqrt(1 - b2 ** c) / (1 - b1 ** c)
+        else:
+            step_size = lr
+        decay_mask = (mask(params) if callable(mask) else mask) if mask is not None \
+            else jax.tree.map(lambda _: True, params)
+        updates = jax.tree.map(
+            lambda m, v, p, dm: -step_size * m / (jnp.sqrt(v) + eps)
+            - (lr * weight_decay * p if (dm and weight_decay > 0.0) else 0.0),
+            mu, nu, params, decay_mask)
+        return updates, _AdamWHFState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def bert_decay_mask(params) -> dict:
+    """True for params that get weight decay: everything except biases and
+    LayerNorm scales (reference no_decay list main_utils.py:158)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def decayed(path) -> bool:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        joined = "/".join(str(k) for k in keys).lower()
+        if joined.endswith("/bias") or joined.endswith("bias"):
+            return False
+        if "layernorm" in joined:
+            return False
+        return True
+
+    leaves = {tuple(p): decayed(p) for p, _ in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [leaves[tuple(p)] for p, _ in flat])
+
+
+def sgd_torch(learning_rate, momentum: float = 9e-4, weight_decay: float = 1e-8,
+              nesterov: bool = True) -> optax.GradientTransformation:
+    """torch.optim.SGD parity (reference main_utils.py:344): L2 weight decay
+    folded into the gradient, then (nesterov) momentum."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=nesterov),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def exponential_epoch_schedule(init_lr: float, gamma: float, steps_per_epoch: int):
+    """ExponentialLR(gamma) stepped once per epoch (reference
+    main_utils.py:346,419): lr = init * gamma^epoch, constant within epoch."""
+
+    def schedule(count):
+        epoch = jnp.asarray(count, jnp.int32) // max(1, steps_per_epoch)
+        return init_lr * gamma ** epoch.astype(jnp.float32)
+
+    return schedule
