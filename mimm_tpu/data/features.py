@@ -1,0 +1,153 @@
+"""Text featurization: TSV examples -> fixed-length token features.
+
+Reference parity (model_utils.py:341-544): reads ``all_data.tsv`` (5-col:
+index, label, study_id, img_path, findings-text), WordPiece-tokenizes with
+[CLS]/[SEP], truncates to ``max_seq_length``, zero-pads ids/mask/segments,
+maps labels "0"-"3" (+ "-1" for unlabeled), and caches features on disk
+keyed by sequence length (``cachedfeatures_train_seqlen-<L>``).
+
+TPU-native difference: the cache is a single .npz of dense int32 arrays
+(ids/mask/segments stacked) instead of a pickled object list — it loads
+with one mmap-able read and feeds straight into device batching without
+per-example tensor conversion.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import sys
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+LABEL_LIST = ["0", "1", "2", "3"]  # reference get_labels (model_utils.py:455-457)
+
+
+@dataclass
+class InputExample:
+    """One report (reference model_utils.py:384-403)."""
+    report_id: str
+    guid: str
+    text_a: str
+    text_b: str = None
+    labels: str = None
+
+
+@dataclass
+class InputFeatures:
+    """Tokenized report (reference model_utils.py:373-381)."""
+    input_ids: List[int]
+    input_mask: List[int]
+    segment_ids: List[int]
+    label_id: int
+    report_id: str
+
+
+def read_tsv(path: str) -> List[List[str]]:
+    with open(path, encoding="utf-8") as f:
+        return [line for line in csv.reader(f, delimiter="\t")]
+
+
+def create_examples_from_tsv(path: str, set_type: str = "dev") -> List[InputExample]:
+    """Reference ClassificationDataProcessor._create_examples
+    (model_utils.py:459-471): text = last col, label = col 1, report_id =
+    col 2 (the study id)."""
+    examples = []
+    for i, line in enumerate(read_tsv(path)):
+        examples.append(InputExample(
+            report_id=line[2], guid=f"{set_type}-{i}", text_a=line[-1],
+            labels=line[1]))
+    return examples
+
+
+def convert_example_to_feature(example: InputExample, label_map: Dict[str, int],
+                               max_seq_length: int, tokenizer) -> InputFeatures:
+    """Reference convert_example_to_feature (model_utils.py:474-528)."""
+    tokens_a = tokenizer.tokenize(example.text_a)
+    if len(tokens_a) > max_seq_length - 2:
+        tokens_a = tokens_a[: max_seq_length - 2]
+    tokens = ["[CLS]"] + tokens_a + ["[SEP]"]
+    segment_ids = [0] * len(tokens)
+    input_ids = tokenizer.convert_tokens_to_ids(tokens)
+    input_mask = [1] * len(input_ids)
+    pad = [0] * (max_seq_length - len(input_ids))
+    return InputFeatures(input_ids=input_ids + pad, input_mask=input_mask + pad,
+                         segment_ids=segment_ids + pad,
+                         label_id=label_map[example.labels],
+                         report_id=example.report_id)
+
+
+def convert_examples_to_features(examples: Sequence[InputExample],
+                                 max_seq_length: int, tokenizer
+                                 ) -> List[InputFeatures]:
+    label_map = {label: i for i, label in enumerate(LABEL_LIST)}
+    label_map["-1"] = -1  # unlabeled (model_utils.py:536)
+    return [convert_example_to_feature(e, label_map, max_seq_length, tokenizer)
+            for e in examples]
+
+
+class TokenFeatureSet:
+    """Dense, keyed token features: the TPU-friendly replacement for the
+    reference's {report_id: list} dicts (model_utils.py:111-113)."""
+
+    def __init__(self, report_ids: np.ndarray, input_ids: np.ndarray,
+                 input_mask: np.ndarray, segment_ids: np.ndarray,
+                 label_ids: np.ndarray):
+        self.report_ids = report_ids            # (N,) str array
+        self.input_ids = input_ids.astype(np.int32)    # (N, L)
+        self.input_mask = input_mask.astype(np.int32)  # (N, L)
+        self.segment_ids = segment_ids.astype(np.int32)
+        self.label_ids = label_ids.astype(np.int32)
+        self.index = {str(r): i for i, r in enumerate(report_ids)}
+
+    def __len__(self):
+        return len(self.report_ids)
+
+    def lookup(self, report_id: str):
+        i = self.index.get(str(report_id))
+        if i is None:
+            return None
+        return self.input_ids[i], self.input_mask[i], self.segment_ids[i]
+
+    @classmethod
+    def from_features(cls, features: Sequence[InputFeatures]) -> "TokenFeatureSet":
+        return cls(
+            report_ids=np.array([f.report_id for f in features]),
+            input_ids=np.array([f.input_ids for f in features]),
+            input_mask=np.array([f.input_mask for f in features]),
+            segment_ids=np.array([f.segment_ids for f in features]),
+            label_ids=np.array([f.label_id for f in features]),
+        )
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, report_ids=self.report_ids,
+                            input_ids=self.input_ids, input_mask=self.input_mask,
+                            segment_ids=self.segment_ids, label_ids=self.label_ids)
+
+    @classmethod
+    def load(cls, path: str) -> "TokenFeatureSet":
+        z = np.load(path, allow_pickle=False)
+        return cls(z["report_ids"], z["input_ids"], z["input_mask"],
+                   z["segment_ids"], z["label_ids"])
+
+
+def load_and_cache_examples(text_data_dir: str, max_seq_length: int, tokenizer,
+                            tsv_name: str = "all_data.tsv") -> TokenFeatureSet:
+    """Reference load_and_cache_examples (model_utils.py:341-370) with an
+    .npz cache (``cachedfeatures_train_seqlen-<L>.npz``)."""
+    cache = os.path.join(text_data_dir,
+                         f"cachedfeatures_train_seqlen-{max_seq_length}.npz")
+    if os.path.exists(cache):
+        logger.info("Loading features from cached file %s", cache)
+        return TokenFeatureSet.load(cache)
+    logger.info("Creating features from dataset file at %s", text_data_dir)
+    examples = create_examples_from_tsv(os.path.join(text_data_dir, tsv_name))
+    features = convert_examples_to_features(examples, max_seq_length, tokenizer)
+    fs = TokenFeatureSet.from_features(features)
+    fs.save(cache)
+    return fs

@@ -1,0 +1,255 @@
+"""Host input pipeline: datasets, deterministic loader, device prefetch.
+
+Replaces the reference's torch DataLoader stack (model_utils.py:41-337,
+main_utils.py:123-129) with a functional, deterministic pipeline:
+
+* Datasets are index->sample functions over pandas/CSV metadata, with the
+  same on-disk contracts (label CSV keyed by ``mimic_id`` path column,
+  ``disease_stats.csv`` filters, image files under ``img_dir``).
+* Augmentation randomness is a pure function of (seed, epoch, index) —
+  bitwise-replayable, unlike the reference's unseeded global RNG
+  (SURVEY.md §5 race-detection note).
+* Bad records are SKIPPED and counted (``loader.skipped``), replacing the
+  reference's silent default-sample substitution (model_utils.py:162-219)
+  which masks data corruption (and whose worker-fork timing bug means
+  workers may never see the default at all).
+* ``device_prefetch`` double-buffers host->device transfers so the TPU
+  step never waits on the host (north-star async pipelining).
+
+Study ids ride through the pipeline as int64 (MIMIC study ids are
+numeric), ready for the study-id negative mask on device.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from mimm_tpu.utils import MimicID
+from . import transforms
+from .etl import read_disease_stats
+
+logger = logging.getLogger(__name__)
+
+
+def _imread(path: str) -> Optional[np.ndarray]:
+    """Grayscale any-depth read (reference cv2.imread(..., IMREAD_ANYDEPTH),
+    model_utils.py:80)."""
+    import cv2
+    return cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+
+
+def study_id_to_int(study_id: str) -> int:
+    try:
+        return int(study_id)
+    except (TypeError, ValueError):
+        return hash(str(study_id)) % (2 ** 62)
+
+
+def _read_metadata_csv(path: str) -> List[Dict[str, str]]:
+    with open(path, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+class CXRImageDataset:
+    """Image-only dataset (reference CXRImageDataset, model_utils.py:41-89):
+    metadata CSV with a ``mimic_id`` column of image-relative paths."""
+
+    def __init__(self, img_dir: str, dataset_metadata: str, img_size: int = 256,
+                 data_key: str = "mimic_id"):
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.rows = _read_metadata_csv(dataset_metadata)
+        self.data_key = data_key
+
+    def __len__(self):
+        return len(self.rows)
+
+    def load(self, idx: int, rng: Optional[np.random.Generator],
+             train: bool = True) -> Optional[Dict[str, np.ndarray]]:
+        img_id = self.rows[idx][self.data_key]
+        img = _imread(os.path.join(self.img_dir, img_id))
+        if img is None:
+            return None
+        img = transforms.reference_transform(img, rng, self.img_size, train=train)
+        return {"image": img[..., None]}  # HWC, C=1
+
+
+class CXRImageReportDataset:
+    """Paired image+tokenized-report dataset (reference model_utils.py:92-230)."""
+
+    def __init__(self, token_features, img_dir: str, dataset_metadata: str,
+                 img_size: int = 256, data_key: str = "mimic_id"):
+        self.tokens = token_features  # TokenFeatureSet
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.rows = _read_metadata_csv(dataset_metadata)
+        self.data_key = data_key
+
+    def __len__(self):
+        return len(self.rows)
+
+    def load(self, idx: int, rng: Optional[np.random.Generator],
+             train: bool = True) -> Optional[Dict[str, np.ndarray]]:
+        row = self.rows[idx]
+        img_id = row[self.data_key]
+        study_id = MimicID.get_study_id(img_id)
+        tok = self.tokens.lookup(study_id)
+        if tok is None:
+            return None
+        img = _imread(os.path.join(self.img_dir, img_id))
+        if img is None:
+            return None
+        img = transforms.reference_transform(img, rng, self.img_size, train=train)
+        ids, mask, segments = tok
+        return {
+            "image": img[..., None],
+            "txt_ids": ids,
+            "txt_masks": mask,
+            "txt_segments": segments,
+            "study_id": np.int64(study_id_to_int(study_id)),
+        }
+
+
+class CXRImageDiseaseDataset:
+    """Per-disease classification dataset (reference model_utils.py:232-337):
+    filter metadata rows into positive/negative study sets from
+    disease_stats.csv, capped at the recorded counts, exact membership."""
+
+    def __init__(self, img_dir: str, dataset_metadata: str, disease: str,
+                 disease_stats: str, img_size: int = 256,
+                 data_key: str = "mimic_id"):
+        pos, neg = read_disease_stats(disease_stats, disease)
+        pos_set, neg_set = set(pos), set(neg)
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.data_key = data_key
+        self.rows: List[Dict[str, str]] = []
+        self.labels: List[int] = []
+        cap = len(pos) + len(neg)
+        for row in _read_metadata_csv(dataset_metadata):
+            study = MimicID.get_study_id(row[data_key])
+            if study in pos_set:
+                self.rows.append(row)
+                self.labels.append(1)
+            elif study in neg_set:
+                self.rows.append(row)
+                self.labels.append(0)
+            if len(self.rows) >= cap:
+                break
+
+    def __len__(self):
+        return len(self.rows)
+
+    def load(self, idx: int, rng: Optional[np.random.Generator],
+             train: bool = True) -> Optional[Dict[str, np.ndarray]]:
+        img_id = self.rows[idx][self.data_key]
+        img = _imread(os.path.join(self.img_dir, img_id))
+        if img is None:
+            return None
+        img = transforms.reference_transform(img, rng, self.img_size, train=train)
+        return {"image": img[..., None], "label": np.float32(self.labels[idx])}
+
+
+class Loader:
+    """Deterministic shuffling batcher with skip-and-refill and a
+    background decode thread.
+
+    Equivalent capability to DataLoader(shuffle=True, drop_last=True,
+    num_workers=N, pin_memory=True) (main_utils.py:127-129) but
+    deterministic per (seed, epoch) and with bad-record accounting.
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 shuffle: bool = True, drop_last: bool = True,
+                 train: bool = True, prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.train = train
+        self.prefetch_batches = prefetch_batches
+        self.skipped = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked numpy batches for one epoch."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+
+        def sample_rng(idx):
+            return np.random.default_rng((self.seed, epoch, int(idx)))
+
+        def producer(out_q: queue.Queue):
+            batch: List[Dict[str, np.ndarray]] = []
+            produced = 0
+            for idx in order:
+                s = self.dataset.load(int(idx), sample_rng(idx), train=self.train)
+                if s is None:
+                    self.skipped += 1
+                    logger.warning("skipping unreadable record %d", idx)
+                    continue
+                batch.append(s)
+                if len(batch) == self.batch_size:
+                    out_q.put(_stack(batch))
+                    produced += 1
+                    batch = []
+            if batch and not self.drop_last:
+                out_q.put(_stack(batch))
+            out_q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def device_prefetch(batches: Iterator[Dict], size: int = 2,
+                    sharding=None) -> Iterator:
+    """Move batches to device ahead of consumption (double buffering).
+    With ``sharding`` (a NamedSharding), batches land pre-sharded across
+    the mesh so the train step does no layout changes."""
+    import collections
+    import jax
+
+    buf = collections.deque()
+
+    def put(b):
+        if sharding is not None:
+            return jax.device_put(b, sharding)
+        return jax.device_put(b)
+
+    it = iter(batches)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,190 @@
+"""Data layer tests: tokenizer parity vs transformers, transform parity vs
+torchvision, ETL parser parity vs the shipped reference fixtures, loader
+determinism + skip accounting."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+REF_TEXT = "/root/reference/full_data_set/text"
+REF_IMGS = "/root/reference/full_data_set/images"
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "the", "lungs", "are", "clear", "no", "acute", "cardio",
+         "##pulmonary", "process", "heart", "size", "is", "normal",
+         "pleural", "effusion", ",", ".", "-", "un", "##change", "##d"]
+
+
+@pytest.fixture
+def vocab_file(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n")
+    return str(p)
+
+
+def test_tokenizer_matches_transformers(vocab_file):
+    transformers = pytest.importorskip("transformers")
+    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+
+    ours = WordPieceTokenizer.from_pretrained(vocab_file)
+    hf = transformers.BertTokenizer(vocab_file, do_lower_case=True)
+
+    texts = [
+        "The lungs are clear.  No acute cardiopulmonary process.",
+        "Heart size is normal, unchanged - no pleural effusion.",
+        "WEIRD unknown Tokensé here �\t with   spaces",
+    ]
+    # add a real report
+    sample = os.path.join(REF_TEXT, "p10")
+    fname = sorted(os.listdir(sample))[0]
+    texts.append(open(os.path.join(sample, fname), encoding="utf-8").read()[:500])
+
+    for t in texts:
+        assert ours.tokenize(t) == hf.tokenize(t), t[:60]
+        ids = ours.convert_tokens_to_ids(ours.tokenize(t))
+        assert ids == hf.convert_tokens_to_ids(hf.tokenize(t))
+
+
+def test_feature_conversion_contract(vocab_file):
+    from mimm_tpu.data.features import (InputExample, LABEL_LIST,
+                                        convert_examples_to_features)
+    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.from_pretrained(vocab_file)
+    ex = InputExample(report_id="123", guid="dev-0",
+                      text_a="the lungs are clear", labels="-1")
+    (f,) = convert_examples_to_features([ex], max_seq_length=10, tokenizer=tok)
+    assert len(f.input_ids) == 10 and len(f.input_mask) == 10
+    assert f.input_ids[0] == VOCAB.index("[CLS]")
+    assert f.input_ids[5] == VOCAB.index("[SEP]")
+    assert f.input_mask[:6] == [1] * 6 and f.input_mask[6:] == [0] * 4
+    assert f.label_id == -1
+    # truncation
+    long = InputExample(report_id="9", guid="dev-1",
+                        text_a="the lungs are clear " * 20, labels="0")
+    (f2,) = convert_examples_to_features([long], max_seq_length=8, tokenizer=tok)
+    assert len(f2.input_ids) == 8 and f2.input_ids[-1] == VOCAB.index("[SEP]")
+
+
+def test_report_parser_matches_shipped_fixtures():
+    """Golden: reparse every in-repo report and compare byte-for-byte with
+    the TSVs the reference committed (dataset_populate.py output)."""
+    from mimm_tpu.data.etl import extract_report_text
+
+    total = match = 0
+    for sub in ("p10", "p11", "p13"):
+        tsv = os.path.join(REF_TEXT, f"data_subfolder_{sub}.tsv")
+        for row in csv.reader(open(tsv, encoding="utf-8"), delimiter="\t"):
+            _, _, study, _, text = row
+            path = os.path.join(REF_TEXT, sub, f"s{study}.txt")
+            if not os.path.exists(path):
+                continue
+            total += 1
+            got = extract_report_text(open(path, encoding="utf-8").read())
+            assert got == text, f"s{study}"
+            match += 1
+    assert total >= 70 and match == total
+
+
+def test_affine_crop_matches_pil():
+    """PIL's C AFFINE resampler is the independent oracle (it is what
+    torchvision RandomAffine executes on PIL inputs)."""
+    from mimm_tpu.data.transforms import affine_crop, max_normalize, \
+        reference_transform_pil
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 4096, size=(300, 280)).astype(np.int16)
+    for angle, tx, ty in [(0.0, 0, 0), (17.3, 12, -9), (-20.0, -28, 30),
+                          (5.5, 0, 0)]:
+        want = reference_transform_pil(img, angle, tx, ty, 128)
+        got = max_normalize(affine_crop(img, angle, tx, ty, 128))
+        frac_equal = (want == got).mean()
+        assert frac_equal > 0.995, (angle, tx, ty, frac_equal)
+
+
+def test_center_crop_eval_path():
+    from mimm_tpu.data.transforms import center_crop
+    img = np.arange(10 * 8).reshape(10, 8).astype(np.int16)
+    out = center_crop(img, 4)
+    assert out.shape == (4, 4)
+    np.testing.assert_array_equal(out, img[3:7, 2:6])
+    # pad-up path
+    out2 = center_crop(img[:2, :2], 4)
+    assert out2.shape == (4, 4)
+
+
+def _write_mini_dataset(tmp_path, n=6, broken=1):
+    """Create a mini image dir + metadata CSV shaped like the reference's
+    training_label_negbio.csv."""
+    import cv2
+
+    img_dir = tmp_path / "images"
+    (img_dir / "p99").mkdir(parents=True)
+    rows = [["mimic_id", "Pneumonia", "Edema"]]
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        rel = f"p99/p99000{i}_s5000{i}_d{i}.jpg"
+        if i >= n - broken:
+            rows.append([rel, "1.0", ""])  # metadata exists, file missing
+            continue
+        img = rng.integers(0, 255, size=(64, 60)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / rel), img)
+        rows.append([rel, "1.0" if i % 2 == 0 else "0.0", "0.0"])
+    meta = tmp_path / "training_label_negbio.csv"
+    with open(meta, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(img_dir), str(meta)
+
+
+def test_loader_determinism_and_skip(tmp_path):
+    from mimm_tpu.data.pipeline import CXRImageDataset, Loader
+
+    img_dir, meta = _write_mini_dataset(tmp_path)
+    ds = CXRImageDataset(img_dir, meta, img_size=32)
+    loader = Loader(ds, batch_size=2, seed=7, drop_last=True)
+
+    b1 = list(loader.epoch(0))
+    b2 = list(loader.epoch(0))
+    assert len(b1) == len(b2) >= 2
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a["image"], b["image"])  # replayable
+    assert loader.skipped == 2  # the broken record, seen twice
+
+    b3 = list(Loader(ds, batch_size=2, seed=7).epoch(1))
+    assert not np.array_equal(b1[0]["image"], b3[0]["image"])  # epoch reshuffles
+
+
+def test_disease_dataset_filters_by_stats(tmp_path):
+    from mimm_tpu.data.etl import parsing_csv_meta_data_for_label_stats
+    from mimm_tpu.data.pipeline import CXRImageDiseaseDataset
+
+    img_dir, meta = _write_mini_dataset(tmp_path, n=6, broken=0)
+    stats = parsing_csv_meta_data_for_label_stats(meta, str(tmp_path))
+    ds = CXRImageDiseaseDataset(img_dir, meta, disease="Pneumonia",
+                                disease_stats=stats, img_size=32)
+    assert len(ds) == 6
+    labels = [ds.load(i, np.random.default_rng(0))["label"] for i in range(len(ds))]
+    assert sum(labels) == 3  # i%2==0 rows are positive
+
+
+def test_token_featureset_roundtrip(tmp_path, vocab_file):
+    from mimm_tpu.data.features import load_and_cache_examples
+    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+
+    tsv = tmp_path / "all_data.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.writer(f, delimiter="\t", lineterminator="\n")
+        w.writerow([0, "-1", "50001", "p99/x.jpg", "the lungs are clear"])
+        w.writerow([1, "2", "50002", "p99/y.jpg", "no acute process"])
+
+    tok = WordPieceTokenizer.from_pretrained(vocab_file)
+    fs = load_and_cache_examples(str(tmp_path), 12, tok)
+    assert len(fs) == 2
+    ids, mask, segs = fs.lookup("50001")
+    assert ids.shape == (12,) and mask.sum() == 6
+    assert fs.lookup("99999") is None
+    # second call loads from cache
+    fs2 = load_and_cache_examples(str(tmp_path), 12, tok)
+    np.testing.assert_array_equal(fs.input_ids, fs2.input_ids)
