@@ -1,0 +1,55 @@
+"""CLI: MI pretraining + classifier training (reference multi_modal.py).
+
+``train_mutual_information`` tokenizes the report corpus (with the same
+on-disk cache contract), builds the joint manager, and trains; logging
+goes to ``<save_directory>/training_MI.log`` exactly like the reference
+(multi_modal.py:27-34).
+"""
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mimm_tpu.config import TrainingConfig, construct_training_parameters
+
+
+def train_mutual_information(cfg: TrainingConfig):
+    from mimm_tpu.data.features import load_and_cache_examples
+    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+    from mimm_tpu.train.mi import MultiModalManager
+
+    os.makedirs(cfg.save_directory, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(cfg.save_directory, "training_MI.log"),
+        level=logging.INFO, filemode="w",
+        format="%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M")
+    logger = logging.getLogger(__name__)
+    logger.info("args: %s", cfg)
+
+    tokenizer = WordPieceTokenizer.from_pretrained(cfg.bert_pretrained_dir)
+    features = load_and_cache_examples(cfg.text_data_dir, cfg.max_seq_length,
+                                       tokenizer)
+    logger.info("tokens features: %d", len(features))
+
+    manager = MultiModalManager(cfg)
+    state = manager.train(token_features=features)
+    return manager, state
+
+
+def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
+    from mimm_tpu.train.classifier import ClassifierModelManager
+
+    logging.basicConfig(
+        filename=os.path.join(cfg.save_directory,
+                              f"training_classifier_{cfg.disease_label}.log"),
+        level=logging.INFO, filemode="w",
+        format="%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M")
+    manager = ClassifierModelManager(cfg, embed_fn, mlp_hidden_layers)
+    return manager.train()
+
+
+if __name__ == "__main__":
+    cfg = construct_training_parameters()
+    train_mutual_information(cfg)

@@ -1,0 +1,17 @@
+"""CLI: unimodal autoencoder pretraining (reference uni_modal.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mimm_tpu.config import construct_training_parameters
+
+
+def train_auto_encoder(cfg):
+    from mimm_tpu.train.ae import train_auto_encoder as _train
+    return _train(cfg)
+
+
+if __name__ == "__main__":
+    train_auto_encoder(construct_training_parameters())

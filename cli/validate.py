@@ -1,0 +1,34 @@
+"""CLI: held-out validation — accuracy + GDV (reference validate.py)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mimm_tpu.config import construct_training_parameters
+
+MLP_LAYER = [1024, 512, 256, 128, 64, 32, 16]  # reference validate.py:155
+
+
+def main():
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--disease", default="Pneumonia")
+    parser.add_argument("--classifier_epoch", type=int, default=None)
+    known, rest = parser.parse_known_args()
+    cfg = construct_training_parameters(rest)
+
+    from mimm_tpu.validate import validate_MultiModal
+
+    run_dir = os.path.join(cfg.save_directory,
+                           f"{cfg.mi_estimator}_epoch{cfg.num_train_epochs}")
+    cfg = cfg.replace(save_directory=run_dir)
+    accuracy, separability = validate_MultiModal(
+        cfg, MLP_LAYER, known.disease, classifier_epoch=known.classifier_epoch)
+    print(f"Accuracy: {accuracy}")
+    print(f"Separability: {separability}")
+    return accuracy, separability
+
+
+if __name__ == "__main__":
+    main()

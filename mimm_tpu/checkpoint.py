@@ -376,6 +376,71 @@ def ae_variables_from_state_dict(sd: Dict[str, np.ndarray], n_levels: int = 6,
     return v
 
 
+def ae_state_dict_from_variables(variables: dict, n_levels: int = 6,
+                                 n_res: int = 2) -> Dict[str, np.ndarray]:
+    """flax ResNetAE variables -> reference-keyed state dict
+    (inverse of ae_variables_from_state_dict; naming contracts
+    main_utils.py:683-689)."""
+    p, bs = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(tower, flax_path, tp, transpose=False):
+        node = p[tower]
+        for k in flax_path:
+            node = node[k]
+        w = np.asarray(node["kernel"])
+        sd[f"{tp}.weight"] = _deconv_back(w) if transpose else _conv_back(w)
+        if "bias" in node:
+            sd[f"{tp}.bias"] = np.asarray(node["bias"])
+
+    def bn(tower, flax_path, tp):
+        pn, sn = p[tower], bs[tower]
+        for k in flax_path:
+            pn, sn = pn[k], sn[k]
+        sd[f"{tp}.weight"] = np.asarray(pn["scale"])
+        sd[f"{tp}.bias"] = np.asarray(pn["bias"])
+        sd[f"{tp}.running_mean"] = np.asarray(sn["mean"])
+        sd[f"{tp}.running_var"] = np.asarray(sn["var"])
+        sd[f"{tp}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def res_block(tower, fp, tp):
+        conv(tower, [fp, "conv1"], f"{tp}.residual_block.0")
+        bn(tower, [fp, "bn1"], f"{tp}.residual_block.1")
+        conv(tower, [fp, "conv2"], f"{tp}.residual_block.3")
+        bn(tower, [fp, "bn2"], f"{tp}.residual_block.4")
+
+    conv("encoder", ["input_conv"], "encoder.input_conv.0")
+    bn("encoder", ["input_bn"], "encoder.input_conv.1")
+    for i in range(n_levels):
+        for b in range(n_res):
+            res_block("encoder", f"level{i}_res{b}", f"encoder.res_blk_list.{i}.{b}")
+        conv("encoder", [f"down{i}_conv"], f"encoder.conv_list.{i}.0")
+        bn("encoder", [f"down{i}_bn"], f"encoder.conv_list.{i}.1")
+        if f"skip{i}_conv" in p["encoder"]:
+            conv("encoder", [f"skip{i}_conv"], f"encoder.multi_res_skip_list.{i}.0")
+            bn("encoder", [f"skip{i}_bn"], f"encoder.multi_res_skip_list.{i}.1")
+    conv("encoder", ["output_conv"], "encoder.output_conv")
+
+    conv("decoder", ["input_conv"], "decoder.input_conv.0")
+    bn("decoder", ["input_bn"], "decoder.input_conv.1")
+    for i in range(n_levels):
+        conv("decoder", [f"up{i}_conv"], f"decoder.conv_list.{i}.0", transpose=True)
+        bn("decoder", [f"up{i}_bn"], f"decoder.conv_list.{i}.1")
+        for b in range(n_res):
+            res_block("decoder", f"level{i}_res{b}", f"decoder.res_blk_list.{i}.{b}")
+        if f"skip{i}_conv" in p["decoder"]:
+            conv("decoder", [f"skip{i}_conv"], f"decoder.multi_res_skip_list.{i}.0",
+                 transpose=True)
+            bn("decoder", [f"skip{i}_bn"], f"decoder.multi_res_skip_list.{i}.1")
+    conv("decoder", ["output_conv"], "decoder.output_conv")
+
+    sd["fc1.weight"] = _t(np.asarray(p["fc1"]["kernel"]))
+    sd["fc1.bias"] = np.asarray(p["fc1"]["bias"])
+    sd["fc2.weight"] = _t(np.asarray(p["fc2"]["kernel"]))
+    sd["fc2.bias"] = np.asarray(p["fc2"]["bias"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # High-level loaders matching reference entry-point behavior
 # ---------------------------------------------------------------------------

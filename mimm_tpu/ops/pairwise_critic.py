@@ -1,0 +1,363 @@
+"""Pallas TPU kernel: MI discriminator over all (image_i, text_j) pairs.
+
+This is the framework's designated hot-path kernel (BASELINE.json
+north-star): the reference materializes up to B^2 concatenated pair rows
+with a Python loop of ``torch.cat`` calls and runs the 3-layer critic MLP
+over a (B^2, 1536) matrix (reference main_utils.py:80-110 + model.py:18-48).
+
+Math (layer-1 factorization, see objectives/pairing.py):
+
+    S[i, j] = w3 . relu( W2 . relu( h_img[i] + h_txt[j] + b1 ) + b2 ) + b3
+    h_img = X @ W1[:768],  h_txt = Y @ W1[768:]      (thin XLA matmuls)
+
+Mosaic-friendly design: every in-kernel tensor is 2-D (Mosaic rejects the
+(BI, BJ, H) -> (BI*BJ, H) shape cast).  The grid tiles (i, j); inside a
+tile a ``fori_loop`` walks the BI image rows, computing a (BJ, H1) pair
+activation per row that lives only in VMEM/registers.  Transposed
+contractions use ``dot_general`` dimension numbers instead of transposes,
+and the kernel writes S^T tiles (column per image row) so no in-kernel
+transpose is needed; the host-side wrapper transposes the (B, B) result
+with one cheap XLA op.
+
+Backward: custom VJP with two recomputing Pallas kernels — grid (i, j)
+accumulating d_h_img and the shared-weight grads (consecutive output
+revisiting; shared accumulators zeroed only at the first grid step), and
+grid (j, i) accumulating d_h_txt — plus thin XLA matmuls for the
+W1/embedding gradients.  Gradients match the pure-XLA path to float32
+tolerance (tests/test_pallas_critic.py).
+
+On non-TPU backends the kernels run in Pallas interpret mode, so the same
+code path is unit-testable on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Per-tile: BI sequential (BJ, H1) pair-activation rows; each feeds the MXU
+# as (BJ, H1) @ (H1, H2).  VMEM per tile ~ BJ*H1*4B + weights (~3 MB at the
+# reference critic's H1=1024, BJ=512).
+#
+# Mosaic requires the OUTPUT tile's last dim (the i side of S^T) to be a
+# multiple of 128 or the full array dim, and sublane dims to be multiples
+# of 8 — so tile sizes adapt to the batch: small batches use one full-size
+# block (zero tiling waste beyond 8-row padding), large batches tile at
+# (128, 512).
+MAX_BLOCK_I = 128
+MAX_BLOCK_J = 512
+
+
+def _block_sizes(n_img: int, n_txt: int):
+    if n_img <= 2 * MAX_BLOCK_I:
+        bi = -(-n_img // 8) * 8          # full (pad to sublane multiple)
+    else:
+        bi = MAX_BLOCK_I                  # tile (pad to 128 multiple)
+    bj = -(-n_txt // 8) * 8 if n_txt <= MAX_BLOCK_J else MAX_BLOCK_J
+    return bi, bj
+
+_CONTRACT_ROWS = (((0,), (0,)), ((), ()))   # A^T B : contract leading dims
+_CONTRACT_LAST = (((1,), (1,)), ((), ()))   # A B^T : contract trailing dims
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_rows(x: jax.Array, block: int) -> jax.Array:
+    pad = (-x.shape[0]) % block
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: writes S^T tiles (BJ, BI)
+# ---------------------------------------------------------------------------
+
+def _one_hot_col(i, n):
+    """(n, 1) float32 one-hot column — Mosaic-safe row selection/scatter
+    (dynamic lane/sublane indexing is not lowerable; a matvec is)."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    return (ids == i).astype(jnp.float32)
+
+
+def _fwd_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                outT_ref):
+    hi = hi_ref[...]
+    hj = hj_ref[...]
+    b1 = b1_ref[...]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...]
+    w3 = w3_ref[...]
+    bi = hi.shape[0]
+    bj = hj.shape[0]
+
+    def row(i, acc):
+        sel = _one_hot_col(i, bi)                               # (BI, 1)
+        hi_row = jax.lax.dot_general(sel, hi, _CONTRACT_ROWS,
+                                     preferred_element_type=jnp.float32)  # (1, H1)
+        t = jax.nn.relu(hj + hi_row + b1)                       # (BJ, H1)
+        t2 = jax.nn.relu(
+            jnp.dot(t, w2, preferred_element_type=jnp.float32) + b2)
+        sc = jnp.dot(t2, w3, preferred_element_type=jnp.float32)  # (BJ, 1)
+        # scatter the column into the (BJ, BI) tile: sc (x) sel^T
+        return acc + jax.lax.dot_general(sc, sel, _CONTRACT_LAST,
+                                         preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, bi, row, jnp.zeros((bj, bi), jnp.float32))
+    outT_ref[...] = acc + b3_ref[0, 0]
+
+
+def _fwd_call(BLOCK_I, BLOCK_J, h_img, h_txt, b1, w2, b2, w3, b3):
+    ni = h_img.shape[0] // BLOCK_I
+    nj = h_txt.shape[0] // BLOCK_J
+    h1 = h_img.shape[1]
+    h2 = w2.shape[1]
+    outT = pl.pallas_call(
+        _fwd_kernel,
+        grid=(ni, nj),
+        in_specs=[
+            pl.BlockSpec((BLOCK_I, h1), lambda i, j: (i, 0)),
+            pl.BlockSpec((BLOCK_J, h1), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, h1), lambda i, j: (0, 0)),
+            pl.BlockSpec((h1, h2), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, h2), lambda i, j: (0, 0)),
+            pl.BlockSpec((h2, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_J, BLOCK_I), lambda i, j: (j, i)),
+        out_shape=jax.ShapeDtypeStruct((h_txt.shape[0], h_img.shape[0]),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(h_img, h_txt, b1, w2, b2, w3, b3)
+    return outT
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (recompute per tile, accumulate)
+# ---------------------------------------------------------------------------
+
+def _bwd_img_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
+                    dhi_ref, dw2_ref, db2_ref, dw3_ref, db1_ref):
+    """Grid (i, j): j innermost -> dhi (block i) and the shared-weight
+    accumulators (same block every step) revisit consecutively."""
+    i_blk = pl.program_id(0)
+    j_blk = pl.program_id(1)
+
+    @pl.when(j_blk == 0)
+    def _():
+        dhi_ref[...] = jnp.zeros_like(dhi_ref)
+
+    @pl.when((i_blk == 0) & (j_blk == 0))
+    def _():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    hi = hi_ref[...]
+    hj = hj_ref[...]
+    b1 = b1_ref[...]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...]
+    w3 = w3_ref[...]
+    gT = gT_ref[...]
+    bi = hi.shape[0]
+    h1 = hi.shape[1]
+    h2 = w2.shape[1]
+
+    def row(i, carry):
+        dhi_acc, dw2_acc, db2_acc, dw3_acc, db1_acc = carry
+        sel = _one_hot_col(i, bi)                                # (BI, 1)
+        hi_row = jax.lax.dot_general(sel, hi, _CONTRACT_ROWS,
+                                     preferred_element_type=jnp.float32)
+        t = jax.nn.relu(hj + hi_row + b1)                        # (BJ, H1)
+        z2 = jnp.dot(t, w2, preferred_element_type=jnp.float32) + b2
+        t2 = jax.nn.relu(z2)
+        g_col = jnp.dot(gT, sel, preferred_element_type=jnp.float32)  # (BJ, 1)
+        # dt2 = g w3^T : (BJ,1) x (H2,1) contracting last dims -> (BJ, H2)
+        dt2 = jax.lax.dot_general(g_col, w3, _CONTRACT_LAST,
+                                  preferred_element_type=jnp.float32)
+        dz2 = dt2 * (z2 > 0)
+        # dt = dz2 w2^T : contract trailing dims -> (BJ, H1)
+        dt = jax.lax.dot_general(dz2, w2, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32)
+        dz1 = dt * (t > 0)
+        row_sum = jnp.sum(dz1, axis=0, keepdims=True)            # (1, H1)
+        dhi_acc = dhi_acc + jax.lax.dot_general(
+            sel, row_sum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (BI, H1)
+        dw2_acc = dw2_acc + jax.lax.dot_general(
+            t, dz2, _CONTRACT_ROWS, preferred_element_type=jnp.float32)
+        db2_acc = db2_acc + jnp.sum(dz2, axis=0, keepdims=True)
+        dw3_acc = dw3_acc + jax.lax.dot_general(
+            t2, g_col, _CONTRACT_ROWS, preferred_element_type=jnp.float32)
+        db1_acc = db1_acc + row_sum
+        return dhi_acc, dw2_acc, db2_acc, dw3_acc, db1_acc
+
+    init = (jnp.zeros((bi, h1), jnp.float32), jnp.zeros((h1, h2), jnp.float32),
+            jnp.zeros((1, h2), jnp.float32), jnp.zeros((h2, 1), jnp.float32),
+            jnp.zeros((1, h1), jnp.float32))
+    dhi_acc, dw2_acc, db2_acc, dw3_acc, db1_acc = jax.lax.fori_loop(
+        0, bi, row, init)
+    dhi_ref[...] += dhi_acc
+    dw2_ref[...] += dw2_acc
+    db2_ref[...] += db2_acc
+    dw3_ref[...] += dw3_acc
+    db1_ref[...] += db1_acc
+
+
+def _bwd_txt_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
+                    dhj_ref):
+    """Grid (j, i): i innermost -> dhj (block j) accumulates consecutively."""
+    i_blk = pl.program_id(1)
+
+    @pl.when(i_blk == 0)
+    def _():
+        dhj_ref[...] = jnp.zeros_like(dhj_ref)
+
+    hi = hi_ref[...]
+    hj = hj_ref[...]
+    b1 = b1_ref[...]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...]
+    w3 = w3_ref[...]
+    gT = gT_ref[...]
+    bi = hi.shape[0]
+
+    def row(i, acc):
+        sel = _one_hot_col(i, bi)
+        hi_row = jax.lax.dot_general(sel, hi, _CONTRACT_ROWS,
+                                     preferred_element_type=jnp.float32)
+        t = jax.nn.relu(hj + hi_row + b1)
+        z2 = jnp.dot(t, w2, preferred_element_type=jnp.float32) + b2
+        g_col = jnp.dot(gT, sel, preferred_element_type=jnp.float32)
+        dt2 = jax.lax.dot_general(g_col, w3, _CONTRACT_LAST,
+                                  preferred_element_type=jnp.float32)
+        dz2 = dt2 * (z2 > 0)
+        dt = jax.lax.dot_general(dz2, w2, _CONTRACT_LAST,
+                                 preferred_element_type=jnp.float32)
+        return acc + dt * (t > 0)
+
+    acc = jax.lax.fori_loop(0, bi, row,
+                            jnp.zeros(hj.shape, jnp.float32))
+    dhj_ref[...] += acc
+
+
+def _bwd_call(BLOCK_I, BLOCK_J, h_img, h_txt, b1, w2, b2, w3, gT):
+    ni = h_img.shape[0] // BLOCK_I
+    nj = h_txt.shape[0] // BLOCK_J
+    h1 = h_img.shape[1]
+    h2 = w2.shape[1]
+
+    common = [
+        pl.BlockSpec((BLOCK_I, h1), lambda i, j: (i, 0)),
+        pl.BlockSpec((BLOCK_J, h1), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, h1), lambda i, j: (0, 0)),
+        pl.BlockSpec((h1, h2), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, h2), lambda i, j: (0, 0)),
+        pl.BlockSpec((h2, 1), lambda i, j: (0, 0)),
+        pl.BlockSpec((BLOCK_J, BLOCK_I), lambda i, j: (j, i)),
+    ]
+    dhi, dw2, db2, dw3, db1 = pl.pallas_call(
+        _bwd_img_kernel,
+        grid=(ni, nj),
+        in_specs=common,
+        out_specs=[
+            pl.BlockSpec((BLOCK_I, h1), lambda i, j: (i, 0)),
+            pl.BlockSpec((h1, h2), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, h2), lambda i, j: (0, 0)),
+            pl.BlockSpec((h2, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, h1), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(h_img.shape, jnp.float32),
+            jax.ShapeDtypeStruct((h1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((1, h2), jnp.float32),
+            jax.ShapeDtypeStruct((h2, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(h_img, h_txt, b1, w2, b2, w3, gT)
+
+    swapped = [
+        pl.BlockSpec((BLOCK_I, h1), lambda j, i: (i, 0)),
+        pl.BlockSpec((BLOCK_J, h1), lambda j, i: (j, 0)),
+        pl.BlockSpec((1, h1), lambda j, i: (0, 0)),
+        pl.BlockSpec((h1, h2), lambda j, i: (0, 0)),
+        pl.BlockSpec((1, h2), lambda j, i: (0, 0)),
+        pl.BlockSpec((h2, 1), lambda j, i: (0, 0)),
+        pl.BlockSpec((BLOCK_J, BLOCK_I), lambda j, i: (j, i)),
+    ]
+    dhj = pl.pallas_call(
+        _bwd_txt_kernel,
+        grid=(nj, ni),
+        in_specs=swapped,
+        out_specs=pl.BlockSpec((BLOCK_J, h1), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct(h_txt.shape, jnp.float32),
+        interpret=_interpret(),
+    )(h_img, h_txt, b1, w2, b2, w3, gT)
+
+    db3 = jnp.sum(gT)
+    return dhi, dhj, dw2, db2, dw3, db1, db3
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pair_scores_core(bi_blk, bj_blk, h_img, h_txt, b1, w2, b2, w3, b3):
+    return _fwd_call(bi_blk, bj_blk, h_img, h_txt, b1, w2, b2, w3, b3)
+
+
+def _core_fwd(bi_blk, bj_blk, h_img, h_txt, b1, w2, b2, w3, b3):
+    return _fwd_call(bi_blk, bj_blk, h_img, h_txt, b1, w2, b2, w3, b3), \
+        (h_img, h_txt, b1, w2, b2, w3)
+
+
+def _core_bwd(bi_blk, bj_blk, res, gT):
+    h_img, h_txt, b1, w2, b2, w3 = res
+    dhi, dhj, dw2, db2, dw3, db1, db3 = _bwd_call(
+        bi_blk, bj_blk, h_img, h_txt, b1, w2, b2, w3, gT.astype(jnp.float32))
+    return dhi, dhj, db1, dw2, db2, dw3, db3.reshape(1, 1)
+
+
+_pair_scores_core.defvjp(_core_fwd, _core_bwd)
+
+
+def pairwise_critic_scores_pallas(params: List[dict], emb_img: jax.Array,
+                                  emb_txt: jax.Array) -> jax.Array:
+    """Drop-in replacement for objectives.pairing.pairwise_critic_scores
+    for the reference 3-layer critic shape (W1, W2, w3)."""
+    if len(params) != 3:
+        from mimm_tpu.objectives.pairing import pairwise_critic_scores
+        return pairwise_critic_scores(params, emb_img, emb_txt)
+
+    d_img = emb_img.shape[-1]
+    w1, b1 = params[0]["w"], params[0]["b"]
+    w2, b2 = params[1]["w"], params[1]["b"]
+    w3, b3 = params[2]["w"], params[2]["b"]
+
+    emb_img = emb_img.astype(jnp.float32)
+    emb_txt = emb_txt.astype(jnp.float32)
+    h_img = emb_img @ w1[:d_img]                       # thin XLA matmuls;
+    h_txt = emb_txt @ w1[d_img:]                       # autodiff covers W1/emb
+    bi, bj = emb_img.shape[0], emb_txt.shape[0]
+    bi_blk, bj_blk = _block_sizes(bi, bj)
+    hi = _pad_rows(h_img, bi_blk)
+    hj = _pad_rows(h_txt, bj_blk)
+    scoresT = _pair_scores_core(
+        bi_blk, bj_blk, hi, hj, b1.reshape(1, -1).astype(jnp.float32),
+        w2.astype(jnp.float32), b2.reshape(1, -1).astype(jnp.float32),
+        w3.reshape(-1, 1).astype(jnp.float32),
+        jnp.asarray(b3, jnp.float32).reshape(1, 1))
+    return scoresT.T[:bi, :bj]

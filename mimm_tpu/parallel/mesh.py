@@ -1,0 +1,75 @@
+"""Device mesh + sharding helpers — the TPU-native scaling layer.
+
+The reference is single-device (SURVEY.md §2: no DP/TP/PP, no collectives).
+Here, scaling is expressed with ``jax.sharding``: a Mesh over ICI, batches
+sharded over the 'data' axis, params replicated (or sharded over 'model'
+for tensor parallelism of the critic/BERT), and XLA inserts the
+collectives.  Under jit, the MI score matrix over the global batch makes
+cross-chip negatives automatic: embeddings sharded over 'data' feeding a
+(B_global, B_global) computation compile to an all-gather over ICI —
+exactly the design SURVEY.md §5 calls for, without hand-written NCCL-alikes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
+              devices=None) -> Mesh:
+    """Build a mesh.  Default: all local devices on the 'data' axis.
+    ``mesh_shape`` e.g. {'data': 4, 'model': 2}."""
+    devices = devices if devices is not None else jax.devices()
+    if not mesh_shape:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    names = tuple(mesh_shape.keys())
+    dims = tuple(mesh_shape.values())
+    n = int(np.prod(dims))
+    if n > len(devices):
+        raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(dims), names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data', replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
+    """device_put a host batch with the leading dim sharded over 'data'."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def critic_tp_shardings(mesh: Mesh, critic_params) -> Tuple:
+    """Tensor-parallel layout for the MI discriminator over 'model':
+    layer 0 column-parallel (hidden sharded), layer 1 row-parallel, rest
+    replicated.  Returns a pytree of PartitionSpecs matching the params.
+    Used when the mesh has a 'model' axis; XLA inserts the reduce at the
+    row-parallel boundary."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return jax.tree.map(lambda _: P(), critic_params)
+    specs = []
+    n = len(critic_params)
+    for i in range(n):
+        if i == 0:
+            specs.append({"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)})
+        elif i == 1:
+            specs.append({"w": P(MODEL_AXIS, None), "b": P()})
+        else:
+            specs.append({"w": P(), "b": P()})
+    return specs

@@ -1,0 +1,139 @@
+"""Unimodal autoencoder trainer — the reference's UniModalManager
+(main_utils.py:594-703), TPU-native.
+
+Same training semantics: ResNetAE (2 residual blocks, 6 levels, z_dim 192,
+bottleneck 768, multi-res skips), MSE reconstruction, single Adam at
+``init_lr``, per-epoch checkpoints named ``encoder_<N>.bin`` /
+``decoder_<N>.bin`` / ``autoencoder_path_<N>.bin`` plus epoch loss logging
+and a final loss plot (main_utils.py:683-703).
+
+TPU-native: one jitted train step (donated state), batch sharded over the
+'data' mesh axis, bfloat16 conv compute with float32 params/loss, host
+pipeline prefetching to device.  Unlike the reference, the checkpoint tree
+carries optimizer state + step for true resume (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mimm_tpu import checkpoint as ckpt
+from mimm_tpu.metrics import MetricWriter, Plot_Training
+from mimm_tpu.models.autoencoder import ResNetAE
+from mimm_tpu.parallel import mesh as mesh_lib
+from mimm_tpu.train.optim import adam_torch
+
+logger = logging.getLogger(__name__)
+
+
+class AETrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def build_ae_model(cfg) -> ResNetAE:
+    """Reference config: main_utils.py:600-605."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return ResNetAE(input_shape=(cfg.img_size, cfg.img_size, cfg.output_channels),
+                    n_residual_blocks=2, n_levels=6, z_dim=192,
+                    bottleneck_dim=192 * 4, use_multi_res_skips=True, dtype=dtype)
+
+
+def create_ae_state(model: ResNetAE, cfg, rng) -> AETrainState:
+    shape = (1, *model.input_shape)
+    variables = model.init(rng, jnp.zeros(shape, jnp.float32), train=False)
+    tx = adam_torch(cfg.init_lr)
+    return AETrainState(variables["params"], variables["batch_stats"],
+                        tx.init(variables["params"]), jnp.zeros([], jnp.int32))
+
+
+def make_ae_train_step(model: ResNetAE, tx):
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: AETrainState, images: jax.Array):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            return jnp.mean((out - images) ** 2), mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return AETrainState(new_params, new_bs, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
+                       mesh=None, export_torch_bins: bool = True) -> AETrainState:
+    """Reference UniModalManager.train (main_utils.py:610-703)."""
+    from mimm_tpu.data.pipeline import CXRImageDataset, Loader, device_prefetch
+
+    os.makedirs(cfg.save_directory, exist_ok=True)
+    writer = MetricWriter(cfg.save_directory, name="ae",
+                          log_filename="training_AE.log")
+    mesh = mesh or mesh_lib.make_mesh(dict(cfg.mesh_shape) or None)
+    num_epochs = num_epochs or cfg.num_train_epochs
+
+    if dataset is None:
+        dataset = CXRImageDataset(cfg.image_dir, cfg.dataset_metadata,
+                                  img_size=cfg.img_size)
+    loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed)
+    logger.info("Total number of training images %d", len(dataset))
+
+    model = build_ae_model(cfg)
+    state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
+    state = mesh_lib.replicate(mesh, state)
+    tx = adam_torch(cfg.init_lr)
+    train_step = make_ae_train_step(model, tx)
+
+    training_loss = []
+    for epoch in range(num_epochs):
+        start = time.time()
+        epoch_loss = 0.0
+        batches = (b["image"] for b in loader.epoch(epoch))
+        for images in device_prefetch(batches, size=cfg.prefetch,
+                                      sharding=mesh_lib.batch_sharding(mesh)):
+            state, loss = train_step(state, images)
+            epoch_loss += float(loss)
+        training_loss.append(epoch_loss)
+
+        path = save_ae_checkpoint(cfg.save_directory, state, epoch + 1,
+                                  export_torch_bins=export_torch_bins)
+        writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
+        if loader.skipped:
+            writer.write(epoch=epoch + 1, skipped_records=loader.skipped)
+
+    Plot_Training("Epochs", "Value for Loss", "Training stats AutoEncoder",
+                  [training_loss], ["Training loss"],
+                  os.path.join(cfg.save_directory, "autoencoder_training_loss.png"))
+    writer.close()
+    return state
+
+
+def save_ae_checkpoint(save_dir: str, state: AETrainState, epoch: int,
+                       export_torch_bins: bool = True) -> str:
+    """Native resume tree + reference-named .bin exports
+    (main_utils.py:683-689)."""
+    path = ckpt.save_checkpoint(os.path.join(save_dir, f"ae_epoch{epoch}.ckpt"),
+                                state._asdict())
+    if export_torch_bins:
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        sd = ckpt.ae_state_dict_from_variables(variables)
+        ckpt.save_state_dict_bin(os.path.join(save_dir, f"autoencoder_path_{epoch}.bin"), sd)
+        enc = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+        dec = {k[len("decoder."):]: v for k, v in sd.items() if k.startswith("decoder.")}
+        ckpt.save_state_dict_bin(os.path.join(save_dir, f"encoder_{epoch}.bin"), enc)
+        ckpt.save_state_dict_bin(os.path.join(save_dir, f"decoder_{epoch}.bin"), dec)
+    return path

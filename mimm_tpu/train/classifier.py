@@ -1,0 +1,244 @@
+"""Downstream per-disease classifier trainer — the reference's
+ClassifierModelManager (main_utils.py:271-591), TPU-native.
+
+Semantics preserved:
+* frozen pretrained encoder -> 768-d embedding: multimodal path takes the
+  ResNet 5-tuple slot 1, unimodal path takes ResNetAE.encode
+  (main_utils.py:376-380);
+* Basic_MLP (ReLU+Dropout(0.2), sigmoid head) + BCE loss;
+* Adam(init_lr) or SGD(wd=1e-8, momentum=9e-4, nesterov) with
+  ExponentialLR(gamma=0.9) stepped per epoch (main_utils.py:341-346);
+* 95/5 train/val split (deterministic here; reference random_split
+  main_utils.py:303-306);
+* per-epoch train/val accuracy + tp/tn/fp/fn tallies, best-val-accuracy
+  checkpointing to ``pytorch_image_classifier_<label>_epoch<N>.bin``,
+  loss/accuracy plots every 20 epochs and at the end.
+
+TPU-native: the encoder runs under jit in eval mode and, because only the
+classifier params are differentiated, the backward pass never touches it —
+the reference wastes a full encoder backward per step because its "frozen"
+encoder is merely optimizer-less (SURVEY.md §3.3 note).  tp/fp definitions
+follow the standard convention (the reference swaps fp/fn at
+main_utils.py:504-505 — intent, not the bug; its fp_count counts
+pred=0 & label=1).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mimm_tpu import checkpoint as ckpt
+from mimm_tpu.metrics import MetricWriter, Plot_Training
+from mimm_tpu.models.mlp import BasicMLP
+from mimm_tpu.parallel import mesh as mesh_lib
+from mimm_tpu.train.optim import (adam_torch, exponential_epoch_schedule,
+                                  sgd_torch)
+
+logger = logging.getLogger(__name__)
+
+
+class ClassifierTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_embedding_fn(kind: str, model, variables) -> Callable:
+    """Jitted frozen-encoder embedding: kind 'multimodal' (ResNet z) or
+    'unimodal' (ResNetAE.encode)."""
+    if kind == "multimodal":
+        @jax.jit
+        def embed(images):
+            outs = model.apply(variables, images, train=False)
+            return outs[1]
+    elif kind == "unimodal":
+        from mimm_tpu.models.autoencoder import ResNetAE
+
+        @jax.jit
+        def embed(images):
+            return model.apply(variables, images, train=False,
+                               method=ResNetAE.encode)
+    else:
+        raise ValueError(f"unknown encoder kind: {kind}")
+    return embed
+
+
+def make_classifier_step(mlp: BasicMLP, tx, seed: int):
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: ClassifierTrainState, emb, labels):
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+
+        def loss_fn(params):
+            p = mlp.apply(params, emb, train=True, dropout_rng=rng)[:, 0]
+            p = jnp.clip(p, 1e-7, 1 - 1e-7)
+            return -jnp.mean(labels * jnp.log(p) + (1 - labels) * jnp.log1p(-p))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return ClassifierTrainState(optax.apply_updates(state.params, updates),
+                                    new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def evaluate(mlp: BasicMLP, params, embed, loader, epoch: int):
+    """Accuracy + confusion tallies over a loader epoch (eval transform)."""
+    @jax.jit
+    def predict(emb):
+        return mlp.apply(params, emb)[:, 0]
+
+    count = total = tp = tn = fp = fn = pos = neg = 0
+    losses = []
+    for batch in loader.epoch(epoch):
+        emb = embed(batch["image"])
+        p = np.asarray(predict(emb))
+        y = np.asarray(batch["label"])
+        pred = np.round(p)
+        pc = np.clip(p, 1e-7, 1 - 1e-7)
+        losses.append(float(-np.mean(y * np.log(pc) + (1 - y) * np.log1p(-pc))))
+        count += int((pred == y).sum())
+        total += len(y)
+        pos += int((y == 1).sum())
+        neg += int((y == 0).sum())
+        tp += int(np.logical_and(pred == 1, y == 1).sum())
+        tn += int(np.logical_and(pred == 0, y == 0).sum())
+        fp += int(np.logical_and(pred == 1, y == 0).sum())
+        fn += int(np.logical_and(pred == 0, y == 1).sum())
+    acc = count / max(1, total)
+    return acc, (float(np.mean(losses)) if losses else 0.0), dict(
+        total=total, positive=pos, negative=neg, tp=tp, tn=tn, fp=fp, fn=fn)
+
+
+class ClassifierModelManager:
+    """Reference-shaped facade (main_utils.py:276-316)."""
+
+    def __init__(self, cfg, embed_fn: Callable, mlp_hidden_layers,
+                 dataset=None, val_fraction: float = 0.05):
+        from mimm_tpu.data.pipeline import CXRImageDiseaseDataset, Loader
+
+        self.cfg = cfg
+        self.embed = embed_fn
+        self.mlp = BasicMLP(768, list(mlp_hidden_layers))
+
+        if dataset is None:
+            dataset = CXRImageDiseaseDataset(
+                img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
+                disease=cfg.disease_label, disease_stats=cfg.dataset_disease_stats,
+                img_size=cfg.img_size)
+        n = len(dataset)
+        order = np.random.default_rng(cfg.seed).permutation(n)
+        n_val = max(1, int(round(n * val_fraction)))
+        self.train_view = _Subset(dataset, order[n_val:])
+        self.val_view = _Subset(dataset, order[:n_val])
+        self.train_loader = Loader(self.train_view, cfg.batch_size, seed=cfg.seed)
+        self.val_loader = Loader(self.val_view, cfg.batch_size, seed=cfg.seed,
+                                 train=False, drop_last=False)
+
+    def train(self, num_epochs: Optional[int] = None,
+              export_torch_bins: bool = True):
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.num_train_epochs_classifier
+        os.makedirs(cfg.save_directory, exist_ok=True)
+        writer = MetricWriter(
+            cfg.save_directory, name=f"classifier_{cfg.disease_label}",
+            log_filename=f"training_classifier_{cfg.disease_label}.log")
+
+        steps_per_epoch = max(1, len(self.train_loader))
+        sched = exponential_epoch_schedule(cfg.init_lr, 0.9, steps_per_epoch)
+        tx = adam_torch(sched) if cfg.optimizer == "Adam" else sgd_torch(sched)
+        params = self.mlp.init(jax.random.PRNGKey(cfg.seed))
+        state = ClassifierTrainState(params, tx.init(params),
+                                     jnp.zeros([], jnp.int32))
+        step_fn = make_classifier_step(self.mlp, tx, cfg.seed)
+
+        tr_losses, tr_accs, va_losses, va_accs = [], [], [], []
+        max_accuracy = 0.0
+        best_path = None
+        for epoch in range(num_epochs):
+            start = time.time()
+            step_losses = []
+            for batch in self.train_loader.epoch(epoch):
+                emb = self.embed(batch["image"])
+                state, loss = step_fn(state, emb, jnp.asarray(batch["label"]))
+                step_losses.append(float(loss))
+            tr_loss = float(np.mean(step_losses)) if step_losses else 0.0
+
+            tr_acc, _, _ = evaluate(self.mlp, state.params, self.embed,
+                                    self.train_loader, epoch)
+            va_acc, va_loss, tallies = evaluate(self.mlp, state.params,
+                                                self.embed, self.val_loader, epoch)
+            tr_losses.append(tr_loss); tr_accs.append(tr_acc)
+            va_losses.append(va_loss); va_accs.append(va_acc)
+
+            if va_acc > max_accuracy:
+                max_accuracy = va_acc
+                best_path = self.save(state, f"{cfg.disease_label}_epoch{epoch + 1}",
+                                      export_torch_bins)
+            dt = time.time() - start
+            writer.logger.info(
+                f"Label: {cfg.disease_label},  Epoch {epoch + 1} took {dt:.3f} s, "
+                f"training loss = {tr_loss:.5f}, validation_loss = {va_loss:.5f}, "
+                f"validation accuracy={va_acc:.5f}")
+            writer.logger.info(
+                f"  Total validation samples = {tallies['total']}, "
+                f"total positive={tallies['positive']}, total negative={tallies['negative']} "
+                f",tp_count={tallies['tp']}, tn_count={tallies['tn']}, "
+                f"fp_count={tallies['fp']}, fn_count={tallies['fn']}")
+            writer.write(epoch=epoch + 1, train_loss=tr_loss, train_acc=tr_acc,
+                         val_loss=va_loss, val_acc=va_acc, **tallies)
+
+            if (epoch + 1) % 20 == 0:
+                self._plots(tr_losses, va_losses, tr_accs, va_accs,
+                            suffix=f"_epoch{epoch + 1}")
+
+        self._plots(tr_losses, va_losses, tr_accs, va_accs, suffix="")
+        writer.close()
+        return state, max_accuracy, best_path
+
+    def save(self, state: ClassifierTrainState, label: str,
+             export_torch_bins: bool = True) -> str:
+        cfg = self.cfg
+        path = ckpt.save_checkpoint(
+            os.path.join(cfg.save_directory, f"classifier_{label}.ckpt"),
+            state._asdict())
+        if export_torch_bins:
+            sd = ckpt.mlp_state_dict_from_params(jax.device_get(state.params))
+            ckpt.save_state_dict_bin(
+                os.path.join(cfg.save_directory,
+                             f"pytorch_image_classifier_{label}.bin"), sd)
+        return path
+
+    def _plots(self, tr_l, va_l, tr_a, va_a, suffix: str):
+        cfg = self.cfg
+        d = cfg.disease_label
+        Plot_Training("Epochs", "Value for Loss",
+                      f"Training stats for disease {d}", [tr_l, va_l],
+                      ["Training loss", "Validation loss"],
+                      os.path.join(cfg.save_directory,
+                                   f"image_classifier_training_loss_{d}{suffix}.png"))
+        Plot_Training("Epochs", "Value for Accuracy",
+                      f"Training stats for disease {d}", [tr_a, va_a],
+                      ["training accuracy", "validation accuracy"],
+                      os.path.join(cfg.save_directory,
+                                   f"image_classifier_training_accuracy_{d}{suffix}.png"))
+
+
+class _Subset:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def load(self, idx, rng, train=True):
+        return self.dataset.load(int(self.indices[idx]), rng, train=train)

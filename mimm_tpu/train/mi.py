@@ -1,0 +1,280 @@
+"""Multimodal mutual-information trainer — the reference's MultiModalManager
+(main_utils.py:53-268), TPU-native.
+
+Training semantics preserved:
+* joint ResNet+BERT forward -> 768-d embeddings (model.py:540-555);
+* MI discriminator make_mlp(1536, [1024, 512]) scoring (img, txt) pairs;
+* DV or InfoNCE bound over positives (diagonal) and study-id-masked
+  negatives — computed as a fused (B, B) score matrix with *identical*
+  loss values to the reference's O(B^2) pair loop (objectives/);
+* three optimizers: Adam(init_lr) on the image tower, Adam(init_lr) on the
+  discriminator, pytorch_transformers-AdamW(2e-5, correct_bias=False,
+  wd 0.1 except bias/LayerNorm) + warmup-linear on the text tower
+  (main_utils.py:151-172);
+* per-epoch checkpoints with the reference naming contracts
+  (pytorch_MI_image_model.bin, pytorch_MI_text_model.bin,
+  pytorch_model_epoch<N>.bin) + epoch loss/time log lines + loss plot.
+
+TPU-native:
+* ONE jitted train step (donated state) containing forward, pairing,
+  bound, backward, and all three optimizer updates — the reference's
+  ~4k-kernel-launch pair loop becomes a few fused XLA ops;
+* batch sharded over the 'data' mesh axis; under pjit the (B, B) score
+  matrix spans the GLOBAL batch, so cross-chip negatives come from an
+  XLA all-gather over ICI automatically (cfg.global_negatives);
+* bfloat16 encoder compute, float32 loss/optimizer state;
+* deterministic dropout keyed on (seed, step).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mimm_tpu import checkpoint as ckpt
+from mimm_tpu.metrics import MetricWriter, Plot_Training
+from mimm_tpu.models.bert import BertConfig, TextBert
+from mimm_tpu.models.joint import ImageReportModel
+from mimm_tpu.models.mlp import make_mlp
+from mimm_tpu.objectives import critics as critics_lib
+from mimm_tpu.objectives.pairing import pairwise_critic_scores
+from mimm_tpu.parallel import mesh as mesh_lib
+from mimm_tpu.train.optim import (adam_torch, adamw_hf, bert_decay_mask,
+                                  warmup_linear_schedule)
+
+logger = logging.getLogger(__name__)
+
+CRITIC_HIDDEN = (1024, 512)  # reference main_utils.py:77
+
+
+class MITrainState(NamedTuple):
+    params: Any          # joint model params: {'image_model':…, 'text_model':…}
+    batch_stats: Any
+    critic_params: Any
+    img_opt: Any
+    mi_opt: Any
+    txt_opt: Any
+    step: jax.Array
+
+
+class MIOptimizers(NamedTuple):
+    img: optax.GradientTransformation
+    mi: optax.GradientTransformation
+    txt: optax.GradientTransformation
+
+
+def load_bert_config(cfg) -> BertConfig:
+    path = os.path.join(cfg.bert_pretrained_dir, cfg.bert_config_name)
+    if os.path.exists(path):
+        return BertConfig.from_json_file(path, num_classes=cfg.output_channels)
+    logger.warning("No bert config at %s — using bert-base defaults", path)
+    return BertConfig(num_classes=cfg.output_channels)
+
+
+def build_joint_model(cfg, bert_config: Optional[BertConfig] = None
+                      ) -> ImageReportModel:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return ImageReportModel(bert_config=bert_config or load_bert_config(cfg),
+                            output_channels=cfg.output_channels, dtype=dtype)
+
+
+def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
+    total = int(cfg.num_train_epochs * steps_per_epoch)
+    sched = warmup_linear_schedule(cfg.bert_lr,
+                                   warmup_steps=cfg.warmup_fraction * total,
+                                   t_total=total)
+    return MIOptimizers(
+        img=adam_torch(cfg.init_lr),
+        mi=adam_torch(cfg.init_lr),
+        txt=adamw_hf(sched, eps=1e-6, weight_decay=0.1, correct_bias=False,
+                     mask=bert_decay_mask),
+    )
+
+
+def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,
+                    bert_variables: Optional[dict] = None) -> MITrainState:
+    k_model, k_critic = jax.random.split(rng)
+    img = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.output_channels))
+    ids = jnp.zeros((1, cfg.max_seq_length), jnp.int32)
+    variables = model.init(k_model, img, ids)
+    params = variables["params"]
+    if bert_variables is not None:  # pretrained BERT ingestion (C13)
+        merged = dict(params["text_model"])
+        for k, v in bert_variables["params"].items():
+            merged[k] = v
+        params = {**params, "text_model": merged}
+    # critic input = img embedding (768 at 256px) + text embedding
+    # (bert hidden, 768 in the reference -> 1536 total, main_utils.py:77)
+    critic_in = 768 + model.bert_config.hidden_size
+    critic = make_mlp(k_critic, critic_in, list(CRITIC_HIDDEN))
+    return MITrainState(
+        params=params, batch_stats=variables.get("batch_stats", {}),
+        critic_params=critic,
+        img_opt=txs.img.init(params["image_model"]),
+        mi_opt=txs.mi.init(critic),
+        txt_opt=txs.txt.init(params["text_model"]),
+        step=jnp.zeros([], jnp.int32))
+
+
+def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
+                       axis_name: Optional[str] = None):
+    """One fused step: forward + pair-scores + bound + backward + 3 updates.
+
+    ``axis_name`` is only for explicit shard_map use; under plain jit with a
+    sharded batch the global score matrix already spans all devices.
+    """
+    estimator = cfg.mi_estimator
+    use_pallas = getattr(cfg, "use_pallas_critic", False)
+
+    def mi_loss(joint_params, critic_params, batch_stats, batch, dropout_rng):
+        outputs, mutated = model.apply(
+            {"params": joint_params, "batch_stats": batch_stats},
+            batch["image"], batch["txt_ids"], batch["txt_masks"],
+            batch["txt_segments"], train=True,
+            rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+        emb_img, emb_txt, _, _ = outputs
+        sids = batch["study_id"]
+        if axis_name is not None:
+            emb_img = jax.lax.all_gather(emb_img, axis_name, tiled=True)
+            emb_txt = jax.lax.all_gather(emb_txt, axis_name, tiled=True)
+            sids = jax.lax.all_gather(sids, axis_name, tiled=True)
+        if use_pallas:
+            from mimm_tpu.ops.pairwise_critic import pairwise_critic_scores_pallas
+            scores = pairwise_critic_scores_pallas(critic_params, emb_img, emb_txt)
+        else:
+            scores = pairwise_critic_scores(critic_params, emb_img, emb_txt)
+        if estimator == "dv":
+            loss = critics_lib.dv_bound_from_scores(scores, sids)
+        elif estimator == "infonce":
+            loss = critics_lib.infonce_bound_from_scores(scores, sids)
+        elif estimator == "infonce_per_anchor":
+            loss = critics_lib.infonce_per_anchor(scores, sids)
+        else:
+            raise ValueError(f"unknown mi estimator: {estimator}")
+        return loss, mutated["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: MITrainState, batch):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+        (loss, new_bs), grads = jax.value_and_grad(mi_loss, argnums=(0, 1),
+                                                   has_aux=True)(
+            state.params, state.critic_params, state.batch_stats, batch,
+            dropout_rng)
+        joint_g, critic_g = grads
+
+        img_u, img_opt = txs.img.update(joint_g["image_model"], state.img_opt,
+                                        state.params["image_model"])
+        txt_u, txt_opt = txs.txt.update(joint_g["text_model"], state.txt_opt,
+                                        state.params["text_model"])
+        mi_u, mi_opt = txs.mi.update(critic_g, state.mi_opt, state.critic_params)
+
+        new_params = {
+            "image_model": optax.apply_updates(state.params["image_model"], img_u),
+            "text_model": optax.apply_updates(state.params["text_model"], txt_u),
+        }
+        new_critic = optax.apply_updates(state.critic_params, mi_u)
+        return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
+                            txt_opt, state.step + 1), loss
+
+    return train_step
+
+
+def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
+                        bert_config: BertConfig,
+                        export_torch_bins: bool = True) -> str:
+    """Native tree + reference .bin naming contracts (model.py:557-595)."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = ckpt.save_checkpoint(os.path.join(save_dir, f"mi_epoch{epoch}.ckpt"),
+                                state._asdict())
+    if export_torch_bins:
+        params = jax.device_get(state.params)
+        bstats = jax.device_get(state.batch_stats)
+        img_sd = ckpt.resnet_state_dict_from_variables(
+            {"params": params["image_model"],
+             "batch_stats": bstats.get("image_model", {})})
+        ckpt.save_state_dict_bin(os.path.join(save_dir, "pytorch_MI_image_model.bin"),
+                                 img_sd)
+        txt_sd = ckpt.bert_state_dict_from_variables(
+            {"params": params["text_model"]}, bert_config.num_hidden_layers)
+        ckpt.save_state_dict_bin(os.path.join(save_dir, "pytorch_MI_text_model.bin"),
+                                 txt_sd)
+        joint = {f"image_model.{k}": v for k, v in img_sd.items()}
+        joint.update({f"text_model.{k}": v for k, v in txt_sd.items()})
+        ckpt.save_state_dict_bin(
+            os.path.join(save_dir, f"pytorch_model_epoch{epoch}.bin"), joint)
+    return path
+
+
+class MultiModalManager:
+    """Reference-shaped manager facade (main_utils.py:53-78)."""
+
+    def __init__(self, cfg, bert_config: Optional[BertConfig] = None,
+                 load_pretrained_bert: bool = True):
+        self.cfg = cfg
+        self.bert_config = bert_config or load_bert_config(cfg)
+        self.model = build_joint_model(cfg, self.bert_config)
+        self.bert_variables = None
+        if load_pretrained_bert:
+            self.bert_variables = ckpt.load_bert_pytorch_bin(
+                cfg.bert_pretrained_dir, self.bert_config.num_hidden_layers)
+            if self.bert_variables is None:
+                logger.warning("No pretrained BERT weights found in %s — "
+                               "random init", cfg.bert_pretrained_dir)
+
+    def train(self, token_features, dataset=None, mesh=None,
+              num_epochs: Optional[int] = None,
+              export_torch_bins: bool = True) -> MITrainState:
+        from mimm_tpu.data.pipeline import (CXRImageReportDataset, Loader,
+                                            device_prefetch)
+
+        cfg = self.cfg
+        os.makedirs(cfg.save_directory, exist_ok=True)
+        writer = MetricWriter(cfg.save_directory, name="mi",
+                              log_filename="training_MI.log")
+        mesh = mesh or mesh_lib.make_mesh(dict(cfg.mesh_shape) or None)
+        num_epochs = num_epochs or cfg.num_train_epochs
+
+        if dataset is None:
+            dataset = CXRImageReportDataset(
+                token_features, cfg.image_dir, cfg.dataset_metadata,
+                img_size=cfg.img_size)
+        loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed)
+        logger.info("Total number of training image-report pairs: %d", len(dataset))
+
+        txs = make_optimizers(cfg, steps_per_epoch=max(1, len(loader)))
+        state = create_mi_state(self.model, cfg, txs,
+                                jax.random.PRNGKey(cfg.seed),
+                                bert_variables=self.bert_variables)
+        state = mesh_lib.replicate(mesh, state)
+        train_step = make_mi_train_step(self.model, txs, cfg)
+
+        training_loss = []
+        for epoch in range(num_epochs):
+            start = time.time()
+            epoch_loss = 0.0
+            for batch in device_prefetch(loader.epoch(epoch), size=cfg.prefetch,
+                                         sharding=mesh_lib.batch_sharding(mesh)):
+                state, loss = train_step(state, batch)
+                epoch_loss += float(loss)
+            training_loss.append(epoch_loss)
+
+            path = save_mi_checkpoints(cfg.save_directory, state, epoch + 1,
+                                       self.bert_config,
+                                       export_torch_bins=export_torch_bins)
+            writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
+            if loader.skipped:
+                writer.write(epoch=epoch + 1, skipped_records=loader.skipped)
+
+        Plot_Training("Epochs", "Value for Loss", "MI training",
+                      [training_loss], ["train loss"],
+                      os.path.join(cfg.save_directory,
+                                   "mutual_information_training.png"))
+        writer.close()
+        return state

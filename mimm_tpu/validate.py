@@ -1,0 +1,92 @@
+"""Validation: held-out accuracy + GDV separability.
+
+Reference parity (validate.py:63-153): load the MI image model and a
+classifier checkpoint, run the test-set disease dataset, compute
+accuracy = mean(round(sigmoid) == label), collect positive/negative
+embeddings, and compute the generalised discrimination value
+(metrics.gdv_calculation).  Unlike the reference, the classifier
+checkpoint path is derived from the requested disease (the reference
+hardcodes 'pytorch_image_classifier_Pneumonia_epoch7.bin' regardless —
+validate.py:95; intent, not the bug).
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mimm_tpu import checkpoint as ckpt
+from mimm_tpu.metrics import gdv_calculation
+from mimm_tpu.models.mlp import BasicMLP
+from mimm_tpu.models.resnet import ResNet256_6_2_1
+
+logger = logging.getLogger(__name__)
+
+
+def find_classifier_checkpoint(save_directory: str, disease: str,
+                               epoch: Optional[int] = None) -> str:
+    if epoch is not None:
+        return os.path.join(save_directory,
+                            f"pytorch_image_classifier_{disease}_epoch{epoch}.bin")
+    candidates = sorted(
+        glob.glob(os.path.join(save_directory,
+                               f"pytorch_image_classifier_{disease}_epoch*.bin")),
+        key=lambda p: int(p.rsplit("epoch", 1)[1].split(".")[0]))
+    if not candidates:
+        raise FileNotFoundError(
+            f"no classifier checkpoint for {disease} in {save_directory}")
+    return candidates[-1]
+
+
+def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
+                        dataset=None, classifier_epoch: Optional[int] = None
+                        ) -> Tuple[float, float]:
+    """Returns (accuracy, separability) like reference validate.py:63-153."""
+    from mimm_tpu.data.pipeline import CXRImageDiseaseDataset, Loader
+
+    if dataset is None:
+        dataset = CXRImageDiseaseDataset(
+            img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
+            disease=disease, disease_stats=cfg.dataset_disease_stats,
+            img_size=cfg.img_size)
+    loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
+                    train=False, drop_last=False)
+
+    image_model = ResNet256_6_2_1(output_channels=cfg.output_channels)
+    img_vars = ckpt.load_resnet_from_bin(
+        os.path.join(cfg.save_directory, "pytorch_MI_image_model.bin"))
+
+    clf = BasicMLP(768, mlp_layer)
+    clf_path = find_classifier_checkpoint(cfg.save_directory, disease,
+                                          classifier_epoch)
+    clf_params = ckpt.mlp_params_from_state_dict(ckpt.load_state_dict_bin(clf_path))
+    logger.info("Loaded classifier from %s", clf_path)
+
+    @jax.jit
+    def forward(images):
+        outs = image_model.apply(img_vars, images, train=False)
+        emb = outs[1]
+        return emb, clf.apply(clf_params, emb)[:, 0]
+
+    test_count = total = 0
+    pos_emb, neg_emb = [], []
+    for batch in loader.epoch(0):
+        emb, probs = forward(batch["image"])
+        emb = np.asarray(emb)
+        labels = np.asarray(batch["label"])
+        pred = np.round(np.asarray(probs))
+        test_count += int((pred == labels).sum())
+        total += len(labels)
+        pos_emb.extend(emb[labels == 1])
+        neg_emb.extend(emb[labels == 0])
+
+    accuracy = test_count / max(1, total)
+    separability = gdv_calculation(pos_emb, neg_emb) \
+        if pos_emb and neg_emb else float("nan")
+    logger.info("Accuracy: %s  Separability: %s", accuracy, separability)
+    return accuracy, separability

@@ -1,0 +1,76 @@
+"""Pallas pairwise-critic kernel: forward + gradient parity against the
+pure-XLA factorized path (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimm_tpu.models.mlp import make_mlp
+from mimm_tpu.objectives.pairing import pairwise_critic_scores
+from mimm_tpu.ops.pairwise_critic import pairwise_critic_scores_pallas
+
+
+@pytest.fixture
+def setup():
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    B_i, B_t, D = 20, 12, 16
+    params = make_mlp(k1, 2 * D, [32, 16])
+    emb_img = jax.random.normal(k2, (B_i, D))
+    emb_txt = jax.random.normal(k3, (B_t, D))
+    return params, emb_img, emb_txt
+
+
+def test_forward_matches_xla(setup):
+    params, emb_img, emb_txt = setup
+    want = pairwise_critic_scores(params, emb_img, emb_txt)
+    got = pairwise_critic_scores_pallas(params, emb_img, emb_txt)
+    assert got.shape == want.shape == (20, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_xla(setup):
+    params, emb_img, emb_txt = setup
+    key = jax.random.PRNGKey(9)
+    cot = jax.random.normal(key, (20, 12))  # random upstream cotangent
+
+    def loss(fn, p, a, b):
+        return jnp.sum(fn(p, a, b) * cot)
+
+    g_ref = jax.grad(lambda p, a, b: loss(pairwise_critic_scores, p, a, b),
+                     argnums=(0, 1, 2))(params, emb_img, emb_txt)
+    g_pal = jax.grad(lambda p, a, b: loss(pairwise_critic_scores_pallas, p, a, b),
+                     argnums=(0, 1, 2))(params, emb_img, emb_txt)
+
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_pal, _ = jax.tree_util.tree_flatten(g_pal)
+    assert len(flat_ref) == len(flat_pal)
+    for r, p_ in zip(flat_ref, flat_pal):
+        np.testing.assert_allclose(np.asarray(p_), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_non_reference_depth_falls_back(setup):
+    """Critics with a different layer count route to the XLA path."""
+    key = jax.random.PRNGKey(1)
+    params = make_mlp(key, 32, [8])  # 2 layers -> fallback
+    a = jax.random.normal(key, (4, 16))
+    b = jax.random.normal(key, (4, 16))
+    want = pairwise_critic_scores(params, a, b)
+    got = pairwise_critic_scores_pallas(params, a, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_mi_loss_with_pallas_matches(setup):
+    from mimm_tpu.objectives.pairing import mi_loss_from_embeddings
+    params, emb_img, emb_txt = setup
+    emb_txt = emb_txt[:20] if emb_txt.shape[0] >= 20 else \
+        jnp.tile(emb_txt, (2, 1))[:20]
+    sids = jnp.arange(20, dtype=jnp.int32)
+    want = mi_loss_from_embeddings(params, emb_img, emb_txt, sids, "dv",
+                                   use_pallas=False)
+    got = mi_loss_from_embeddings(params, emb_img, emb_txt, sids, "dv",
+                                  use_pallas=True)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,176 @@
+"""End-to-end training smoke tests on synthetic data: AE slice, MI slice
+(flagship path incl. reference .bin export/import roundtrip), classifier."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimm_tpu.config import TrainingConfig
+from mimm_tpu.parallel import mesh as mesh_lib
+
+
+def small_mesh():
+    return mesh_lib.make_mesh({"data": 2})
+
+
+class FakeImageDataset:
+    def __init__(self, n=12, size=64):
+        self.n = n
+        rng = np.random.default_rng(0)
+        self.imgs = rng.random((n, size, size, 1)).astype(np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def load(self, idx, rng, train=True):
+        return {"image": self.imgs[idx]}
+
+
+class FakePairedDataset:
+    def __init__(self, n=8, img=256, seq=16, vocab=64):
+        rng = np.random.default_rng(1)
+        self.imgs = rng.random((n, img, img, 1)).astype(np.float32)
+        self.ids = rng.integers(0, vocab, size=(n, seq)).astype(np.int32)
+        self.n = n
+        self.seq = seq
+
+    def __len__(self):
+        return self.n
+
+    def load(self, idx, rng, train=True):
+        return {
+            "image": self.imgs[idx],
+            "txt_ids": self.ids[idx],
+            "txt_masks": np.ones(self.seq, np.int32),
+            "txt_segments": np.zeros(self.seq, np.int32),
+            "study_id": np.int64(50000 + idx),
+        }
+
+
+class FakeDiseaseDataset(FakeImageDataset):
+    def load(self, idx, rng, train=True):
+        s = super().load(idx, rng, train)
+        s["label"] = np.float32(idx % 2)
+        return s
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    return TrainingConfig().replace(
+        save_directory=str(tmp_path / "save"), batch_size=4, seed=0,
+        img_size=64, compute_dtype="float32", num_train_epochs=2,
+        init_lr=1e-3, prefetch=1)
+
+
+def test_ae_end_to_end(cfg):
+    from mimm_tpu.train.ae import train_auto_encoder
+
+    ds = FakeImageDataset(n=12, size=64)
+    state = train_auto_encoder(cfg, dataset=ds, num_epochs=2, mesh=small_mesh())
+    assert int(state.step) == 2 * (12 // 4)
+
+    # checkpoint contracts: native + reference .bin naming
+    d = cfg.save_directory
+    assert os.path.exists(os.path.join(d, "ae_epoch2.ckpt"))
+    for name in ("autoencoder_path_2.bin", "encoder_2.bin", "decoder_2.bin"):
+        assert os.path.exists(os.path.join(d, name)), name
+    assert os.path.exists(os.path.join(d, "autoencoder_training_loss.png"))
+
+    # loss decreased across epochs (recorded in the metrics jsonl)
+    import json
+    recs = [json.loads(l) for l in open(os.path.join(d, "ae.jsonl"))]
+    losses = [r["epoch_loss"] for r in recs if "epoch_loss" in r]
+    assert losses[-1] < losses[0]
+
+    # the exported .bin re-imports into identical params
+    from mimm_tpu import checkpoint as ckpt
+    sd = ckpt.load_state_dict_bin(os.path.join(d, "autoencoder_path_2.bin"))
+    v = ckpt.ae_variables_from_state_dict(sd)
+    got = v["params"]["fc1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jax.device_get(state.params["fc1"]["kernel"])),
+                               rtol=1e-6)
+
+
+def test_mi_end_to_end(cfg):
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import MultiModalManager, save_mi_checkpoints
+
+    cfg = cfg.replace(img_size=256, max_seq_length=16, num_train_epochs=1,
+                      mi_estimator="dv")
+    tiny_bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=32, num_classes=1)
+    mgr = MultiModalManager(cfg, bert_config=tiny_bert, load_pretrained_bert=False)
+    ds = FakePairedDataset(n=8, img=256, seq=16)
+    state = mgr.train(token_features=None, dataset=ds, num_epochs=1, mesh=small_mesh())
+    assert int(state.step) == 2  # 8 samples / batch 4
+
+    d = cfg.save_directory
+    for name in ("pytorch_MI_image_model.bin", "pytorch_MI_text_model.bin",
+                 "pytorch_model_epoch1.bin", "mi_epoch1.ckpt"):
+        assert os.path.exists(os.path.join(d, name)), name
+
+    # exported image tower re-imports identically (incl. from the joint ckpt)
+    from mimm_tpu import checkpoint as ckpt
+    v = ckpt.load_resnet_from_bin(os.path.join(d, "pytorch_MI_image_model.bin"))
+    want = jax.device_get(state.params["image_model"]["conv1"]["kernel"])
+    np.testing.assert_allclose(v["params"]["conv1"]["kernel"], want, rtol=1e-6)
+    vj = ckpt.load_resnet_from_bin(os.path.join(d, "pytorch_model_epoch1.bin"),
+                                   loading_from_joint=True)
+    np.testing.assert_allclose(vj["params"]["conv1"]["kernel"], want, rtol=1e-6)
+    assert "fc1" not in vj["params"]  # joint import drops the fc head
+
+
+def test_mi_loss_decreases_with_training(cfg):
+    """A few MI steps on fixed embeddings-like data must push DV loss down."""
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import (build_joint_model, create_mi_state,
+                                   make_mi_train_step, make_optimizers)
+
+    cfg = cfg.replace(img_size=256, max_seq_length=16, num_train_epochs=5,
+                      init_lr=5e-4)
+    tiny_bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=32, num_classes=1)
+    model = build_joint_model(cfg, tiny_bert)
+    txs = make_optimizers(cfg, steps_per_epoch=1)
+    state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    step = make_mi_train_step(model, txs, cfg)
+
+    ds = FakePairedDataset(n=4, img=256, seq=16)
+    batch = {k: jnp.asarray(np.stack([ds.load(i, None)[k] for i in range(4)]))
+             for k in ("image", "txt_ids", "txt_masks", "txt_segments", "study_id")}
+    losses = []
+    for _ in range(10):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # DV training is not monotone at this scale; after warmup it must have
+    # pushed the bound below the start (loss goes negative, reference §6)
+    assert losses[-1] < losses[0]
+
+
+def test_classifier_end_to_end(cfg):
+    from mimm_tpu.train.ae import build_ae_model
+    from mimm_tpu.train.classifier import ClassifierModelManager, make_embedding_fn
+
+    cfg = cfg.replace(num_train_epochs_classifier=2, disease_label="Pneumonia")
+    ae = build_ae_model(cfg)
+    variables = ae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                        train=False)
+    embed = make_embedding_fn("unimodal", ae, variables)
+
+    ds = FakeDiseaseDataset(n=16, size=64)
+    mgr = ClassifierModelManager(cfg, embed, [32, 16], dataset=ds,
+                                 val_fraction=0.25)
+    state, best_acc, best_path = mgr.train(num_epochs=2)
+    assert int(state.step) == 2 * 3  # 12 train / batch 4
+    assert 0.0 <= best_acc <= 1.0
+    assert best_path is not None and os.path.exists(best_path)
+    bins = [f for f in os.listdir(cfg.save_directory)
+            if f.startswith("pytorch_image_classifier_Pneumonia")]
+    assert bins, "reference-named classifier checkpoint missing"
