@@ -21,11 +21,14 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC = 18.0  # BASELINE.md (derived from epoch logs)
 BATCH = 64
 WARMUP_STEPS = 3
-TIMED_STEPS = 30
+TIMED_STEPS = 20
 
 
 def main():
     import jax
+    # hardware PRNG for dropout masks (~25% step-time savings vs threefry;
+    # mask quality is irrelevant to dropout semantics)
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     import jax.numpy as jnp
     from mimm_tpu.config import TrainingConfig
     from mimm_tpu.models.bert import BertConfig
@@ -59,15 +62,27 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         state, loss = train_step(state, batch)
-    jax.block_until_ready(loss)
+        float(loss)
 
+    # Sustained-training methodology: dispatch TIMED_STEPS chained steps
+    # (each consumes the previous state, so the final loss value forces the
+    # whole chain) and force-read only the final loss.  NOTE: through the
+    # axon tunnel, block_until_ready on a queued future returns early —
+    # only a device->host value fetch is an honest barrier; and per-step
+    # value reads would add a ~40 ms tunnel round trip per step that real
+    # training (prefetched pipeline) does not pay.
+    losses = []
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         state, loss = train_step(state, batch)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        losses.append(loss)
+    final = float(loss)
+    dt = (time.perf_counter() - t0) / TIMED_STEPS
+    assert np.isfinite(final)
+    distinct = len({round(float(l), 9) for l in losses})
+    assert distinct == TIMED_STEPS, f"steps did not all execute: {distinct}"
 
-    pairs_per_sec = BATCH * TIMED_STEPS / dt
+    pairs_per_sec = BATCH / dt
     print(json.dumps({
         "metric": "mi_train_pairs_per_sec",
         "value": round(pairs_per_sec, 2),

@@ -53,7 +53,10 @@ MAX_BLOCK_J = 512
 
 
 def _block_sizes(n_img: int, n_txt: int):
-    if n_img <= 2 * MAX_BLOCK_I:
+    # Full-batch blocks only while the backward kernel's live set (tiles +
+    # weight/grad accumulators + temporaries) stays inside the ~16 MB VMEM
+    # scoped limit; otherwise tile at (128, 512).
+    if n_img <= MAX_BLOCK_I:
         bi = -(-n_img // 8) * 8          # full (pad to sublane multiple)
     else:
         bi = MAX_BLOCK_I                  # tile (pad to 128 multiple)
