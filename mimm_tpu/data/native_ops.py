@@ -1,0 +1,109 @@
+"""ctypes bindings for the native host library (native/mimm_host.cpp).
+
+Auto-builds ``libmimm_host.so`` with g++ on first use if missing; all
+entry points gracefully return None/False when the native library is
+unavailable so the numpy path (transforms.py) remains the fallback.
+ctypes calls release the GIL — the Loader's decode threads scale across
+cores instead of serializing in Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmimm_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_D = ctypes.POINTER(ctypes.c_double)
+_F = ctypes.POINTER(ctypes.c_float)
+_U8 = ctypes.POINTER(ctypes.c_uint8)
+_U16 = ctypes.POINTER(ctypes.c_uint16)
+_I64 = ctypes.c_int64
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "mimm_host.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                        "-o", _LIB_PATH, src], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # no g++, sandboxed, etc. — fall back to numpy
+        logger.warning("native build failed (%s); using numpy host ops", e)
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.warning("could not load %s: %s", _LIB_PATH, e)
+            return None
+        lib.affine_crop_norm_u8.argtypes = [_U8, _I64, _I64, _D, _I64, _I64, _I64, _F]
+        lib.affine_crop_norm_u16.argtypes = [_U16, _I64, _I64, _D, _I64, _I64, _I64, _F]
+        lib.center_crop_norm_u8.argtypes = [_U8, _I64, _I64, _I64, _I64, _I64, _F]
+        lib.center_crop_norm_u16.argtypes = [_U16, _I64, _I64, _I64, _I64, _I64, _F]
+        _lib = lib
+        return _lib
+
+
+def affine_crop_norm(img: np.ndarray, matrix, top: int, left: int,
+                     out_size: int) -> Optional[np.ndarray]:
+    """Fused affine+crop+max-normalize; None if the native lib is absent.
+    ``matrix``: the 6-tuple from transforms._inverse_affine_matrix."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint8:
+        fn, ptr = lib.affine_crop_norm_u8, img.ctypes.data_as(_U8)
+    elif img.dtype == np.uint16:
+        fn, ptr = lib.affine_crop_norm_u16, img.ctypes.data_as(_U16)
+    else:
+        return None
+    out = np.empty((out_size, out_size), np.float32)
+    m = (ctypes.c_double * 6)(*matrix)
+    fn(ptr, img.shape[0], img.shape[1], m, top, left, out_size,
+       out.ctypes.data_as(_F))
+    return out
+
+
+def center_crop_norm(img: np.ndarray, top: int, left: int,
+                     out_size: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint8:
+        fn, ptr = lib.center_crop_norm_u8, img.ctypes.data_as(_U8)
+    elif img.dtype == np.uint16:
+        fn, ptr = lib.center_crop_norm_u16, img.ctypes.data_as(_U16)
+    else:
+        return None
+    out = np.empty((out_size, out_size), np.float32)
+    fn(ptr, img.shape[0], img.shape[1], top, left, out_size,
+       out.ctypes.data_as(_F))
+    return out

@@ -126,15 +126,27 @@ def reference_transform(img: np.ndarray, rng: Optional[np.random.Generator],
     (or rng None) the affine is skipped and only CenterCrop+normalize run —
     the deterministic eval path.
     """
+    from . import native_ops
+
     if img.ndim == 3:
         img = img[..., 0]
+    h, w = img.shape[:2]
+    top = int(round((h - img_size) / 2.0))
+    left = int(round((w - img_size) / 2.0))
     if train and rng is not None:
-        h, w = img.shape[:2]
         angle, tx, ty = sample_affine_params(rng, w, h)
-        img = affine_crop(img.astype(np.int16), angle, tx, ty, img_size)
-    else:
-        img = center_crop(img.astype(np.int16), img_size)
-    return max_normalize(img)
+        if img.dtype in (np.uint8, np.uint16):
+            m = _inverse_affine_matrix((w * 0.5, h * 0.5), angle, (tx, ty))
+            out = native_ops.affine_crop_norm(img, m, top, left, img_size)
+            if out is not None:
+                return out
+        return max_normalize(affine_crop(img.astype(np.int16), angle, tx, ty,
+                                         img_size))
+    if img.dtype in (np.uint8, np.uint16) and h >= img_size and w >= img_size:
+        out = native_ops.center_crop_norm(img, top, left, img_size)
+        if out is not None:
+            return out
+    return max_normalize(center_crop(img.astype(np.int16), img_size))
 
 
 def reference_transform_pil(img: np.ndarray, angle: float, tx: int, ty: int,

@@ -75,8 +75,13 @@ def make_ae_train_step(model: ResNetAE, tx):
 
 
 def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
-                       mesh=None, export_torch_bins: bool = True) -> AETrainState:
-    """Reference UniModalManager.train (main_utils.py:610-703)."""
+                       mesh=None, export_torch_bins: bool = True,
+                       resume_from: Optional[str] = None) -> AETrainState:
+    """Reference UniModalManager.train (main_utils.py:610-703).
+
+    ``resume_from``: path to a native ``ae_epoch<N>.ckpt`` — restores
+    params, BatchNorm stats, optimizer state, and step, and continues from
+    the next epoch (the resume story the reference lacks, SURVEY.md §5)."""
     from mimm_tpu.data.pipeline import CXRImageDataset, Loader, device_prefetch
 
     os.makedirs(cfg.save_directory, exist_ok=True)
@@ -92,13 +97,20 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
     logger.info("Total number of training images %d", len(dataset))
 
     model = build_ae_model(cfg)
-    state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
+    start_epoch = 0
+    if resume_from is not None:
+        state = AETrainState(**ckpt.load_checkpoint(resume_from))
+        start_epoch = int(state.step) // max(1, len(loader))
+        logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
+                    int(state.step), start_epoch)
+    else:
+        state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
     state = mesh_lib.replicate(mesh, state)
     tx = adam_torch(cfg.init_lr)
     train_step = make_ae_train_step(model, tx)
 
     training_loss = []
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         start = time.time()
         epoch_loss = 0.0
         batches = (b["image"] for b in loader.epoch(epoch))

@@ -230,7 +230,11 @@ class MultiModalManager:
 
     def train(self, token_features, dataset=None, mesh=None,
               num_epochs: Optional[int] = None,
-              export_torch_bins: bool = True) -> MITrainState:
+              export_torch_bins: bool = True,
+              resume_from: Optional[str] = None) -> MITrainState:
+        """``resume_from``: path to a native ``mi_epoch<N>.ckpt`` — restores
+        the full three-optimizer state + step and continues from the next
+        epoch (capability absent in the reference, SURVEY.md §5)."""
         from mimm_tpu.data.pipeline import (CXRImageReportDataset, Loader,
                                             device_prefetch)
 
@@ -249,14 +253,21 @@ class MultiModalManager:
         logger.info("Total number of training image-report pairs: %d", len(dataset))
 
         txs = make_optimizers(cfg, steps_per_epoch=max(1, len(loader)))
-        state = create_mi_state(self.model, cfg, txs,
-                                jax.random.PRNGKey(cfg.seed),
-                                bert_variables=self.bert_variables)
+        start_epoch = 0
+        if resume_from is not None:
+            state = MITrainState(**ckpt.load_checkpoint(resume_from))
+            start_epoch = int(state.step) // max(1, len(loader))
+            logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
+                        int(state.step), start_epoch)
+        else:
+            state = create_mi_state(self.model, cfg, txs,
+                                    jax.random.PRNGKey(cfg.seed),
+                                    bert_variables=self.bert_variables)
         state = mesh_lib.replicate(mesh, state)
         train_step = make_mi_train_step(self.model, txs, cfg)
 
         training_loss = []
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             start = time.time()
             epoch_loss = 0.0
             for batch in device_prefetch(loader.epoch(epoch), size=cfg.prefetch,
