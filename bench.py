@@ -39,7 +39,8 @@ def main():
     cfg = TrainingConfig().replace(
         batch_size=BATCH, compute_dtype="bfloat16", mi_estimator="dv",
         use_pallas_critic=jax.default_backend() == "tpu")
-    bert_cfg = BertConfig(num_classes=cfg.output_channels)  # bert-base shape
+    bert_cfg = BertConfig(num_classes=cfg.output_channels,
+                          flash_attention=jax.default_backend() == "tpu")
     model = ImageReportModel(bert_config=bert_cfg,
                              output_channels=cfg.output_channels,
                              dtype=jnp.bfloat16)

@@ -103,6 +103,9 @@ class TrainingConfig:
     prefetch: int = 2
     # Use the fused Pallas pairwise-critic kernel instead of the XLA path.
     use_pallas_critic: bool = True
+    # Fused Pallas attention kernel (scores+softmax+dropout+context in
+    # VMEM) for the text tower.
+    flash_attention: bool = True
 
     def replace(self, **kw) -> "TrainingConfig":
         return dataclasses.replace(self, **kw)

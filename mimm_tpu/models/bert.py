@@ -28,6 +28,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from mimm_tpu.ops.dropout import PackedDropout
+
+
+def _dropout(cfg, rate: float):
+    return PackedDropout(rate) if cfg.packed_dropout else nn.Dropout(rate)
+
 
 @dataclasses.dataclass(frozen=True)
 class BertConfig:
@@ -46,6 +52,10 @@ class BertConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     num_classes: int = 1
+    # byte-packed dropout masks (experimental, ops/dropout.py): 4x less
+    # RNG generation but the byte-interleave relayout measured SLOWER than
+    # plain masks on v5e (384 vs 169 ms/step) — off by default.
+    packed_dropout: bool = False
     # TPU-native: rematerialize each encoder layer in the backward pass
     # (drops the O(B * heads * L^2) attention-prob activations from HBM;
     # ~1/3 extra forward FLOPs buys 4x larger global batches).
@@ -58,6 +68,10 @@ class BertConfig:
     # parity, default) or 'bfloat16' (faster relayouts; max-subtracted so
     # numerically safe for L=320).
     softmax_dtype: str = "float32"
+    # fused Pallas attention (ops/flash_attention.py): scores/softmax/
+    # dropout/context in one kernel, probs+masks never reach HBM; f32
+    # softmax inside, dropout drawn from the on-core PRNG.
+    flash_attention: bool = False
 
     @classmethod
     def from_json_file(cls, path: str, **overrides) -> "BertConfig":
@@ -120,6 +134,21 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(b, -1, nh, hd)
         k = k.reshape(b, -1, nh, hd)
         v = v.reshape(b, -1, nh, hd)
+
+        seq_len = q.shape[1]
+        if cfg.flash_attention and seq_len % 8 == 0 and hd % 8 == 0:
+            from mimm_tpu.ops.flash_attention import flash_attention
+            rate = cfg.attention_probs_dropout_prob if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1, 1), 0,
+                                          jnp.iinfo(jnp.int32).max, jnp.int32)
+            else:
+                seed = jnp.zeros((1, 1), jnp.int32)
+            bias_row = attn_bias[:, 0, 0, :].astype(jnp.float32)     # (B, L)
+            ctx = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3), bias_row, seed, rate)
+            return ctx.transpose(0, 2, 1, 3).reshape(b, -1, h)
+
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         scores = scores + attn_bias
         if cfg.softmax_dtype == "float32":
@@ -129,7 +158,7 @@ class BertSelfAttention(nn.Module):
             scores = scores - jax.lax.stop_gradient(
                 jnp.max(scores, axis=-1, keepdims=True))
             probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+        probs = _dropout(cfg, cfg.attention_probs_dropout_prob)(
             probs, deterministic=deterministic)
         ctx = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(b, -1, h)
         return ctx
@@ -145,7 +174,7 @@ class BertLayer(nn.Module):
         init = _bert_init(cfg.initializer_range)
         ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                                        name=name)
-        drop = nn.Dropout(cfg.hidden_dropout_prob)
+        drop = _dropout(cfg, cfg.hidden_dropout_prob)
 
         attn_out = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
             hidden, attn_bias, deterministic=deterministic)
@@ -191,7 +220,7 @@ class BertModel(nn.Module):
         hidden = word + pos + tok
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_layernorm")(hidden)
-        hidden = nn.Dropout(cfg.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        hidden = _dropout(cfg, cfg.hidden_dropout_prob)(hidden, deterministic=deterministic)
 
         # (B, 1, 1, S) additive mask, -10000 on padding (pytorch_transformers parity)
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(self.dtype)) * -10000.0
@@ -221,7 +250,7 @@ class TextBert(nn.Module):
         _, pooled = BertModel(self.config, dtype=self.dtype, name="bert")(
             input_ids, token_type_ids, attention_mask, deterministic=deterministic)
         pooled = pooled.astype(jnp.float32)
-        dropped = nn.Dropout(self.config.hidden_dropout_prob)(
+        dropped = _dropout(self.config, self.config.hidden_dropout_prob)(
             pooled, deterministic=deterministic)
         logits = nn.Dense(self.config.num_classes,
                           kernel_init=_bert_init(self.config.initializer_range),

@@ -1,0 +1,48 @@
+"""Byte-packed dropout — bandwidth-efficient Bernoulli masks.
+
+Standard ``jax.random.bernoulli`` draws one uint32 per element: for the MI
+step's ~1.3G dropout decisions (12 layers of (B, 12, L, L) attention probs
+plus hidden dropouts) that is ~5 GB/step of random-bit traffic, measured
+at ~40 ms on v5e.  Here each uint32 provides FOUR 8-bit thresholds, so
+RNG generation and traffic drop 4x; keep-probability resolution is 1/256,
+which is inconsequential for dropout regularization (p=0.1 -> realized
+keep rate within 0.2%).
+
+Semantics: per-element Bernoulli(1-rate) mask with 1/(1-rate) scaling,
+exactly like nn.Dropout; only the threshold resolution differs.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def packed_dropout(x: jax.Array, rate: float, rng: jax.Array,
+                   deterministic: bool = False) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    keep_prob = 1.0 - rate
+    # 8-bit threshold: keep iff byte >= rate*256
+    threshold = jnp.uint32(min(255, int(round(rate * 256.0))))
+
+    n = x.size
+    n_words = -(-n // 4)
+    bits = jax.random.bits(rng, (n_words,), jnp.uint32)
+    bytes4 = jnp.stack([(bits >> (8 * k)) & 0xFF for k in range(4)], axis=1)
+    keep = (bytes4.reshape(-1)[:n] >= threshold).reshape(x.shape)
+    return jnp.where(keep, x / keep_prob, jnp.zeros_like(x))
+
+
+class PackedDropout(nn.Module):
+    """Drop-in replacement for nn.Dropout using byte-packed masks."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        return packed_dropout(x, self.rate, rng, deterministic=False)

@@ -72,10 +72,12 @@ class MIOptimizers(NamedTuple):
 
 def load_bert_config(cfg) -> BertConfig:
     path = os.path.join(cfg.bert_pretrained_dir, cfg.bert_config_name)
+    overrides = dict(num_classes=cfg.output_channels,
+                     flash_attention=getattr(cfg, "flash_attention", True))
     if os.path.exists(path):
-        return BertConfig.from_json_file(path, num_classes=cfg.output_channels)
+        return BertConfig.from_json_file(path, **overrides)
     logger.warning("No bert config at %s — using bert-base defaults", path)
-    return BertConfig(num_classes=cfg.output_channels)
+    return BertConfig(**overrides)
 
 
 def build_joint_model(cfg, bert_config: Optional[BertConfig] = None

@@ -1,0 +1,90 @@
+"""Fused attention kernel parity vs the XLA einsum path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimm_tpu.models.bert import BertConfig, BertModel
+from mimm_tpu.ops.flash_attention import flash_attention
+
+
+def _reference_attention(q, k, v, bias_row):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s = s + bias_row[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.fixture
+def qkv():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    B, H, L, D = 2, 3, 64, 16
+    q = jax.random.normal(ks[0], (B, H, L, D))
+    k = jax.random.normal(ks[1], (B, H, L, D))
+    v = jax.random.normal(ks[2], (B, H, L, D))
+    bias = jnp.zeros((B, L)).at[1, 40:].set(-10000.0)  # padded keys on row 1
+    return q, k, v, bias
+
+
+def test_forward_matches_reference(qkv):
+    q, k, v, bias = qkv
+    seed = jnp.zeros((1, 1), jnp.int32)
+    want = _reference_attention(q, k, v, bias)
+    got = flash_attention(q, k, v, bias, seed, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference(qkv):
+    q, k, v, bias = qkv
+    seed = jnp.zeros((1, 1), jnp.int32)
+    cot = jax.random.normal(jax.random.PRNGKey(7), q.shape)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) * cot)
+
+    g_ref = jax.grad(lambda a, b, c: loss(
+        lambda x, y, z: _reference_attention(x, y, z, bias), a, b, c),
+        argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(lambda a, b, c: loss(
+        lambda x, y, z: flash_attention(x, y, z, bias, seed, 0.0), a, b, c),
+        argnums=(0, 1, 2))(q, k, v)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_dropout_statistics_and_determinism(qkv):
+    q, k, v, bias = qkv
+    seed = jnp.full((1, 1), 1234, jnp.int32)
+    rate = 0.25
+    out1 = flash_attention(q, k, v, bias, seed, rate)
+    out2 = flash_attention(q, k, v, bias, seed, rate)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))  # same seed
+    out3 = flash_attention(q, k, v, bias, jnp.full((1, 1), 99, jnp.int32), rate)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))  # diff seed
+    # expectation preserved: row sums ~ reference (dropout is unbiased)
+    want = _reference_attention(q, k, v, bias)
+    ratio = float(jnp.mean(out1) / jnp.mean(want))
+    assert 0.8 < ratio < 1.2
+
+
+def test_bert_with_flash_attention_matches_einsum_path():
+    cfg_base = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=96, hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (2, 64), 0, 64)
+    mask = jnp.ones((2, 64), jnp.int32).at[1, 50:].set(0)
+
+    m_ref = BertModel(BertConfig(**cfg_base, flash_attention=False))
+    variables = m_ref.init(jax.random.PRNGKey(1), ids, attention_mask=mask)
+    _, pooled_ref = m_ref.apply(variables, ids, attention_mask=mask)
+
+    m_fa = BertModel(BertConfig(**cfg_base, flash_attention=True))
+    _, pooled_fa = m_fa.apply(variables, ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(pooled_fa), np.asarray(pooled_ref),
+                               rtol=1e-4, atol=1e-5)
