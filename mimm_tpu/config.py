@@ -106,6 +106,11 @@ class TrainingConfig:
     # Fused Pallas attention kernel (scores+softmax+dropout+context in
     # VMEM) for the text tower.
     flash_attention: bool = True
+    # Sequence-length buckets for the paired loader (e.g. (64,128,192,320));
+    # empty = reference behavior (every report padded to max_seq_length).
+    # Real MIMIC reports average ~85 tokens, so bucketing cuts text-tower
+    # work ~2.7x with identical attention-masked semantics.
+    seq_buckets: tuple = ()
 
     def replace(self, **kw) -> "TrainingConfig":
         return dataclasses.replace(self, **kw)

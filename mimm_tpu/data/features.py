@@ -28,6 +28,16 @@ logger = logging.getLogger(__name__)
 LABEL_LIST = ["0", "1", "2", "3"]  # reference get_labels (model_utils.py:455-457)
 
 
+def convert_to_onehot(severity: int) -> List[int]:
+    """Pulmonary-edema severity (0-3) -> one-hot (reference
+    model_utils.py:29-39)."""
+    if severity not in (0, 1, 2, 3):
+        raise ValueError("No other possibilities of ordinal labels are possible")
+    out = [0, 0, 0, 0]
+    out[severity] = 1
+    return out
+
+
 @dataclass
 class InputExample:
     """One report (reference model_utils.py:384-403)."""

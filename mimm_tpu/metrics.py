@@ -46,6 +46,28 @@ def Plot_Training(xlabel: str, ylabel: str, title: str, data: Sequence[Sequence[
     plt.clf()
 
 
+def Plot_Training_From_Logfile(log_file: str, out_image_file: Optional[str] = None):
+    """Parse reference-format training logs ('Epoch N loss = X' lines) and
+    plot the loss curve (completes the stub at reference utils.py:42-44).
+    Returns the parsed losses."""
+    import re
+
+    losses = []
+    pat = re.compile(r"Epoch (\d+) loss = (-?[0-9.]+)")
+    with open(log_file) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                losses.append((int(m.group(1)), float(m.group(2))))
+    losses.sort()
+    series = [v for _, v in losses]
+    if out_image_file and series:
+        Plot_Training("Epochs", "Value for Loss",
+                      os.path.basename(log_file), [series], ["train loss"],
+                      out_image_file)
+    return series
+
+
 # ---------------------------------------------------------------------------
 # GDV separability (reference validate.py:16-49)
 # ---------------------------------------------------------------------------

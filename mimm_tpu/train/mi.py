@@ -251,7 +251,9 @@ class MultiModalManager:
             dataset = CXRImageReportDataset(
                 token_features, cfg.image_dir, cfg.dataset_metadata,
                 img_size=cfg.img_size)
-        loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed)
+        buckets = list(getattr(cfg, "seq_buckets", ()) or ()) or None
+        loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
+                        bucket_lengths=buckets)
         logger.info("Total number of training image-report pairs: %d", len(dataset))
 
         txs = make_optimizers(cfg, steps_per_epoch=max(1, len(loader)))

@@ -188,3 +188,48 @@ def test_token_featureset_roundtrip(tmp_path, vocab_file):
     # second call loads from cache
     fs2 = load_and_cache_examples(str(tmp_path), 12, tok)
     np.testing.assert_array_equal(fs.input_ids, fs2.input_ids)
+
+
+def test_bucketed_loader_slices_text(tmp_path):
+    from mimm_tpu.data.pipeline import Loader
+
+    class FakePaired:
+        """Paired dataset with varying true token lengths."""
+        def __init__(self, n=12, max_len=320):
+            self.n, self.max_len = n, max_len
+            self.lens = [40 + 25 * (i % 5) for i in range(n)]  # 40..140
+
+        def __len__(self):
+            return self.n
+
+        def token_length(self, idx):
+            return self.lens[idx]
+
+        def load(self, idx, rng, train=True):
+            L = self.max_len
+            mask = np.zeros(L, np.int32)
+            mask[: self.lens[idx]] = 1
+            return {"image": np.zeros((8, 8, 1), np.float32),
+                    "txt_ids": np.full(L, idx, np.int32),
+                    "txt_masks": mask,
+                    "txt_segments": np.zeros(L, np.int32),
+                    "study_id": np.int64(idx)}
+
+    ds = FakePaired()
+    loader = Loader(ds, batch_size=2, seed=0, drop_last=False,
+                    bucket_lengths=[64, 128, 192, 320])
+    batches = list(loader.epoch(0))
+    assert sum(b["txt_ids"].shape[0] for b in batches) == 12  # nothing lost
+    seqs = {b["txt_ids"].shape[1] for b in batches}
+    assert seqs <= {64, 128, 192, 320} and len(seqs) >= 2
+    for b in batches:
+        L = b["txt_ids"].shape[1]
+        # every sample's true length fits its bucket
+        assert (b["txt_masks"].sum(axis=1) <= L).all()
+        assert b["txt_masks"].shape == b["txt_ids"].shape
+
+    # determinism across replays
+    b2 = list(Loader(ds, batch_size=2, seed=0, drop_last=False,
+                     bucket_lengths=[64, 128, 192, 320]).epoch(0))
+    for x, y in zip(batches, b2):
+        np.testing.assert_array_equal(x["txt_ids"], y["txt_ids"])
