@@ -75,7 +75,8 @@ def load_state_dict_bin(path: str) -> Dict[str, np.ndarray]:
 def save_state_dict_bin(path: str, sd: Dict[str, np.ndarray]) -> str:
     torch = _torch()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+               path)
     return path
 
 

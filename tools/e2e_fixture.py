@@ -1,0 +1,159 @@
+"""End-to-end chain on the in-repo fixture corpus (BASELINE.json config #5):
+
+    dataset_populate (parse -> merge -> split -> labels -> stats)
+    -> tokenize + cache
+    -> MI pretraining (joint ResNet + BERT, DV bound)
+    -> per-disease classifier on the frozen MI encoder
+    -> validate (accuracy + GDV separability)
+
+Runs on whatever backend is active (TPU under the driver env; pass
+JAX_PLATFORMS=cpu for host runs).  Uses the reference repo's shipped
+fixtures read-only; all outputs under --workdir.
+
+Usage: python tools/e2e_fixture.py [--workdir /tmp/e2e] [--epochs 2]
+"""
+
+import argparse
+import collections
+import dataclasses
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/full_data_set"
+
+
+def build_vocab_from_corpus(texts, out_path, max_words=2000):
+    """Small WordPiece vocab from the corpus itself: specials + chars +
+    frequent whole words (enough for a smoke chain; real runs use the
+    pretrained clinical vocab)."""
+    from mimm_tpu.data.tokenizer import BasicTokenizer
+
+    basic = BasicTokenizer()
+    counter = collections.Counter()
+    for t in texts:
+        counter.update(basic.tokenize(t))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab += [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    vocab += [f"##{chr(c)}" for c in range(ord("a"), ord("z") + 1)]
+    vocab += list("0123456789.,;:()-/")
+    seen = set(vocab)
+    for w, _ in counter.most_common(max_words):
+        if w not in seen:
+            vocab.append(w)
+            seen.add(w)
+    with open(out_path, "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    return out_path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/e2e_fixture")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--clf_epochs", type=int, default=3)
+    ap.add_argument("--disease", default="Pneumonia")
+    args = ap.parse_args()
+
+    import csv
+
+    from mimm_tpu.config import DatasetConfig, TrainingConfig
+    from mimm_tpu.data import etl
+    from mimm_tpu.data.features import load_and_cache_examples
+    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+
+    wd = args.workdir
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd + "/text", exist_ok=True)
+
+    # ---- stage 1: ETL --------------------------------------------------
+    print("[1/5] ETL: parse reports -> TSVs -> split -> labels -> stats")
+    dcfg = DatasetConfig(
+        data_dir=wd + "/data/",
+        image_storage_dir=REF + "/images/",
+        text_storage_dir=wd + "/text/",
+        training_data_dir=wd + "/training_data/",
+        training_text_dir=wd + "/training_data/text/",
+        training_dataset_labeldata=wd + "/training_data/training_label_negbio.csv",
+        testing_data_dir=wd + "/testing_data/",
+        testing_text_dir=wd + "/testing_data/text/",
+        testing_dataset_labeldata=wd + "/testing_data/testing_label_negbio.csv",
+    )
+    os.makedirs(dcfg.data_dir, exist_ok=True)
+    shutil.copy(REF + "/mimic-cxr-2.0.0-negbio.csv.gz", dcfg.data_dir)
+    etl.synthesize_metadata_from_images(REF + "/images",
+                                        dcfg.data_dir + etl.META_FILENAME)
+    for sub in ("p10", "p11", "p13"):
+        shutil.copytree(REF + f"/text/{sub}", wd + f"/text/{sub}")
+        etl.download_full_dataset(dcfg, sub, download=False)
+    os.makedirs(dcfg.training_text_dir, exist_ok=True)
+    etl.populate_all_data(dcfg, ["p10", "p11", "p13"])
+    etl.populate_subset_dataset(dcfg, seed=0)
+    n_train = sum(1 for _ in open(dcfg.training_dataset_labeldata)) - 1
+    print(f"      training studies: {n_train}")
+
+    # ---- stage 2: tokenize ---------------------------------------------
+    print("[2/5] tokenize + cache")
+    texts = [r[-1] for r in csv.reader(
+        open(dcfg.training_text_dir + "/all_data.tsv"), delimiter="\t")]
+    bert_dir = wd + "/bert_pretrained"
+    os.makedirs(bert_dir, exist_ok=True)
+    build_vocab_from_corpus(texts, bert_dir + "/vocab.txt")
+    tokenizer = WordPieceTokenizer.from_pretrained(bert_dir)
+    feats = load_and_cache_examples(dcfg.training_text_dir, 128, tokenizer)
+    print(f"      {len(feats)} reports tokenized, vocab {tokenizer.vocab_size}")
+
+    # ---- stage 3: MI pretraining ---------------------------------------
+    print("[3/5] MI pretraining (DV)")
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import MultiModalManager
+
+    tcfg = TrainingConfig().replace(
+        image_dir=REF + "/images/",
+        text_data_dir=dcfg.training_text_dir,
+        dataset_metadata=dcfg.training_dataset_labeldata,
+        dataset_disease_stats=wd + "/training_data/disease_stats.csv",
+        save_directory=wd + "/save",
+        batch_size=8, max_seq_length=128, num_train_epochs=args.epochs,
+        seed=0)
+    bert_cfg = BertConfig(
+        vocab_size=tokenizer.vocab_size, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=256,
+        max_position_embeddings=128, num_classes=1)
+    mgr = MultiModalManager(tcfg, bert_config=bert_cfg,
+                            load_pretrained_bert=False)
+    mgr.train(token_features=feats, num_epochs=args.epochs)
+    print("      MI checkpoints:", sorted(
+        f for f in os.listdir(tcfg.save_directory) if f.endswith(".bin"))[:3])
+
+    # ---- stage 4: classifier -------------------------------------------
+    print(f"[4/5] classifier ({args.disease}) on the frozen MI encoder")
+    from mimm_tpu import checkpoint as ckpt
+    from mimm_tpu.models.resnet import ResNet256_6_2_1
+    from mimm_tpu.train.classifier import (ClassifierModelManager,
+                                           make_embedding_fn)
+
+    model = ResNet256_6_2_1(output_channels=1)
+    variables = ckpt.load_resnet_from_bin(
+        os.path.join(tcfg.save_directory, "pytorch_MI_image_model.bin"))
+    embed = make_embedding_fn("multimodal", model, variables)
+    ccfg = tcfg.replace(disease_label=args.disease, init_lr=5e-4)
+    cmgr = ClassifierModelManager(ccfg, embed, [256, 64], val_fraction=0.2)
+    _, best_acc, _ = cmgr.train(num_epochs=args.clf_epochs)
+    print(f"      best val accuracy: {best_acc:.4f}")
+
+    # ---- stage 5: validate ---------------------------------------------
+    print("[5/5] validate: held-out accuracy + GDV")
+    from mimm_tpu.validate import validate_MultiModal
+
+    # fixture corpus is tiny: validate on the training-label table
+    vcfg = ccfg
+    accuracy, separability = validate_MultiModal(vcfg, [256, 64], args.disease)
+    print(f"      accuracy={accuracy:.4f} separability={separability:.3e}")
+    print("E2E CHAIN COMPLETE")
+
+
+if __name__ == "__main__":
+    main()
