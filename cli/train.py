@@ -45,9 +45,6 @@ def train_AE_models(base_cfg):
 
 
 def train_Classifier(base_cfg, isMultiModal: bool):
-    import jax
-    import jax.numpy as jnp
-
     from cli.multi_modal import train_image_classifier
     from mimm_tpu import checkpoint as ckpt
     from mimm_tpu.models.resnet import ResNet256_6_2_1

@@ -17,7 +17,6 @@ from __future__ import annotations
 import csv
 import logging
 import os
-import sys
 from dataclasses import dataclass
 from typing import Dict, List, Sequence
 

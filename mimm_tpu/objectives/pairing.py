@@ -66,7 +66,6 @@ def brute_force_pair_logits(params: List[dict], emb_img: jax.Array,
     the discriminator on the materialized pair matrix.  O(B^2) memory — use
     only in tests.
     """
-    import numpy as np
     from mimm_tpu.models.mlp import mlp_apply
 
     sids = [str(s) for s in study_ids]

@@ -39,7 +39,6 @@ import optax
 from mimm_tpu import checkpoint as ckpt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
 from mimm_tpu.models.mlp import BasicMLP
-from mimm_tpu.parallel import mesh as mesh_lib
 from mimm_tpu.train.optim import (adam_torch, exponential_epoch_schedule,
                                   sgd_torch)
 

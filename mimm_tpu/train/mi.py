@@ -40,7 +40,7 @@ import optax
 
 from mimm_tpu import checkpoint as ckpt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
-from mimm_tpu.models.bert import BertConfig, TextBert
+from mimm_tpu.models.bert import BertConfig
 from mimm_tpu.models.joint import ImageReportModel
 from mimm_tpu.models.mlp import make_mlp
 from mimm_tpu.objectives import critics as critics_lib
@@ -112,9 +112,13 @@ def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,
         for k, v in bert_variables["params"].items():
             merged[k] = v
         params = {**params, "text_model": merged}
-    # critic input = img embedding (768 at 256px) + text embedding
-    # (bert hidden, 768 in the reference -> 1536 total, main_utils.py:77)
-    critic_in = 768 + model.bert_config.hidden_size
+    # critic input = img embedding + text embedding dims, read from the
+    # model's actual output shapes (768 + 768 = 1536 in the reference
+    # configuration, main_utils.py:77)
+    emb_img_shape, emb_txt_shape = jax.eval_shape(
+        lambda v: model.apply(v, img, ids)[:2], {"params": params,
+                                                 "batch_stats": variables.get("batch_stats", {})})
+    critic_in = emb_img_shape.shape[-1] + emb_txt_shape.shape[-1]
     critic = make_mlp(k_critic, critic_in, list(CRITIC_HIDDEN))
     return MITrainState(
         params=params, batch_stats=variables.get("batch_stats", {}),

@@ -21,7 +21,7 @@ The classifier trainer (main_utils.py:341-346) uses Adam or
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

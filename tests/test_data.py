@@ -48,8 +48,7 @@ def test_tokenizer_matches_transformers(vocab_file):
 
 
 def test_feature_conversion_contract(vocab_file):
-    from mimm_tpu.data.features import (InputExample, LABEL_LIST,
-                                        convert_examples_to_features)
+    from mimm_tpu.data.features import InputExample, convert_examples_to_features
     from mimm_tpu.data.tokenizer import WordPieceTokenizer
 
     tok = WordPieceTokenizer.from_pretrained(vocab_file)

@@ -4,7 +4,6 @@ BERT pooled output) plus conv-layout golden checks against torch primitives."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mimm_tpu.models import (
     BasicMLP,

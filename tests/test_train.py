@@ -97,7 +97,7 @@ def test_ae_end_to_end(cfg):
 
 def test_mi_end_to_end(cfg):
     from mimm_tpu.models.bert import BertConfig
-    from mimm_tpu.train.mi import MultiModalManager, save_mi_checkpoints
+    from mimm_tpu.train.mi import MultiModalManager
 
     cfg = cfg.replace(img_size=256, max_seq_length=16, num_train_epochs=1,
                       mi_estimator="dv")

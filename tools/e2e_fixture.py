@@ -15,7 +15,6 @@ Usage: python tools/e2e_fixture.py [--workdir /tmp/e2e] [--epochs 2]
 
 import argparse
 import collections
-import dataclasses
 import os
 import shutil
 import sys
