@@ -78,3 +78,29 @@ def test_create_mi_state_derives_critic_width_from_model():
     txs = make_optimizers(cfg, steps_per_epoch=1)
     state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
     assert state.critic_params[0]["w"].shape[0] == 192 + 32
+
+
+def test_critic_tensor_parallel_matches_replicated():
+    """Critic sharded column/row-parallel over 'model' must give the same
+    pairwise scores as fully replicated params."""
+    from jax.sharding import NamedSharding
+    from mimm_tpu.models.mlp import make_mlp
+    from mimm_tpu.objectives.pairing import pairwise_critic_scores
+
+    mesh = mesh_lib.make_mesh({"data": 2, "model": 2})
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = make_mlp(k1, 64, [32, 16])
+    ei = jax.random.normal(k2, (8, 32))
+    et = jax.random.normal(k3, (8, 32))
+
+    want = pairwise_critic_scores(params, ei, et)
+
+    specs = mesh_lib.critic_tp_shardings(mesh, params)
+    sharded = jax.device_put(
+        params, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: hasattr(x, "_normalized_spec") or
+                             type(x).__name__ == "PartitionSpec"))
+    got = jax.jit(pairwise_critic_scores)(sharded, ei, et)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
