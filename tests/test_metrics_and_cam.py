@@ -1,0 +1,94 @@
+"""GDV parity vs the sklearn-based reference formula + Grad-CAM sanity."""
+
+import numpy as np
+import pytest
+
+
+def test_gdv_matches_sklearn_reference_formula():
+    """Recompute the reference's gdv_calculation (validate.py:16-49) with
+    sklearn primitives and compare to our numpy implementation — including
+    its quirky element-count divisor."""
+    sklearn = pytest.importorskip("sklearn")
+    import math
+    from sklearn.metrics import pairwise_distances
+    from sklearn.preprocessing import StandardScaler
+
+    from mimm_tpu.metrics import gdv_calculation
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(0.5, 1.0, size=(20, 8))
+    neg = rng.normal(-0.5, 1.0, size=(30, 8))
+
+    def ref(source):
+        s = StandardScaler().fit_transform(source)
+        return s
+
+    def intra(items):
+        d = pairwise_distances(items, metric="euclidean")
+        total = items.shape[0] * items.shape[1]
+        return d.sum() * 2 / (total * (total - 1))
+
+    def inter(a, b):
+        d = pairwise_distances(a, b, metric="euclidean")
+        return d.sum() / ((a.shape[0] * a.shape[1]) * (b.shape[0] * b.shape[1]))
+
+    p, n = ref(pos), ref(neg)
+    want = (1 / math.sqrt(len(pos) + len(neg))) * (
+        (intra(p) + intra(n)) / 2 - inter(p, n))
+
+    got = gdv_calculation(pos, neg)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_generic_grad_cam_shapes_and_range():
+    import jax
+    import jax.numpy as jnp
+
+    from mimm_tpu.cam import grad_cam
+
+    fmap = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 4))
+    w = jax.random.normal(jax.random.PRNGKey(1), (4,))
+
+    def score_fn(f):
+        return jnp.sum(f * w, axis=(1, 2, 3))
+
+    cam = grad_cam(score_fn, fmap)
+    assert cam.shape == (2, 6, 6)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+
+
+def test_resnet_grad_cam_end_to_end(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mimm_tpu.cam import generate_GradCAM_image
+    from mimm_tpu.models.mlp import BasicMLP
+    from mimm_tpu.models.resnet import ResNet256_6_2_1
+
+    model = ResNet256_6_2_1(output_channels=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 1)),
+                           train=False)
+    mlp = BasicMLP(768, [8])
+    params = mlp.init(jax.random.PRNGKey(1))
+    classifier = lambda emb: mlp.apply(params, emb)
+
+    img = np.random.default_rng(0).random((256, 256, 1)).astype(np.float32)
+    out = generate_GradCAM_image(model, variables, classifier, img,
+                                 str(tmp_path))
+    assert out.endswith("Grad_Cam.jpg")
+    import cv2
+    written = cv2.imread(out)
+    assert written is not None and written.shape == (256, 256, 3)
+
+
+def test_find_classifier_checkpoint_picks_latest(tmp_path):
+    from mimm_tpu.validate import find_classifier_checkpoint
+
+    for e in (3, 12, 7):
+        (tmp_path / f"pytorch_image_classifier_Edema_epoch{e}.bin").touch()
+    got = find_classifier_checkpoint(str(tmp_path), "Edema")
+    assert got.endswith("epoch12.bin")
+    got7 = find_classifier_checkpoint(str(tmp_path), "Edema", epoch=7)
+    assert got7.endswith("epoch7.bin")
+    with pytest.raises(FileNotFoundError):
+        find_classifier_checkpoint(str(tmp_path), "Pneumonia")
