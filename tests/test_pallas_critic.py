@@ -74,3 +74,38 @@ def test_mi_loss_with_pallas_matches(setup):
     got = mi_loss_from_embeddings(params, emb_img, emb_txt, sids, "dv",
                                   use_pallas=True)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_path_matches_xla(monkeypatch):
+    """Force the multi-tile branch (small MAX_BLOCK_*) so the cross-tile
+    accumulators (dhi per i-row, shared weight grads zeroed only at grid
+    step 0) are exercised — this is where a real accumulator-zeroing bug
+    was caught during bring-up."""
+    import mimm_tpu.ops.pairwise_critic as pc
+
+    monkeypatch.setattr(pc, "MAX_BLOCK_I", 8)
+    monkeypatch.setattr(pc, "MAX_BLOCK_J", 16)
+
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    B_i, B_t, D = 40, 35, 8          # forces ni=5, nj=3 grids with padding
+    params = make_mlp(k1, 2 * D, [16, 8])
+    emb_img = jax.random.normal(k2, (B_i, D))
+    emb_txt = jax.random.normal(k3, (B_t, D))
+
+    want = pairwise_critic_scores(params, emb_img, emb_txt)
+    got = pc.pairwise_critic_scores_pallas(params, emb_img, emb_txt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    cot = jax.random.normal(jax.random.PRNGKey(9), (B_i, B_t))
+    loss = lambda fn, p, a, b: jnp.sum(fn(p, a, b) * cot)
+    g_ref = jax.grad(lambda p, a, b: loss(pairwise_critic_scores, p, a, b),
+                     argnums=(0, 1, 2))(params, emb_img, emb_txt)
+    g_pal = jax.grad(lambda p, a, b: loss(pc.pairwise_critic_scores_pallas,
+                                          p, a, b),
+                     argnums=(0, 1, 2))(params, emb_img, emb_txt)
+    for r, p_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(p_), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
