@@ -188,7 +188,8 @@ class Loader:
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  shuffle: bool = True, drop_last: bool = True,
                  train: bool = True, prefetch_batches: int = 2,
-                 bucket_lengths: Optional[Sequence[int]] = None):
+                 bucket_lengths: Optional[Sequence[int]] = None,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -197,6 +198,12 @@ class Loader:
         self.train = train
         self.prefetch_batches = prefetch_batches
         self.bucket_lengths = sorted(bucket_lengths) if bucket_lengths else None
+        # reference DataLoader(num_workers=32) parity (helpers.py:113-114):
+        # a thread pool decodes samples concurrently (cv2 + the native C++
+        # transform release the GIL, so threads scale across cores) while
+        # results are consumed in submission order — batch composition stays
+        # bit-deterministic regardless of worker count.
+        self.num_workers = num_workers
         self.skipped = 0
 
     def __len__(self):
@@ -221,11 +228,40 @@ class Loader:
         def sample_rng(idx):
             return np.random.default_rng((self.seed, epoch, int(idx)))
 
+        def iter_samples():
+            """Yield (idx, sample) in deterministic `order`, decoding with a
+            thread pool when num_workers > 0."""
+            if self.num_workers <= 0:
+                for idx in order:
+                    yield int(idx), self.dataset.load(int(idx), sample_rng(idx),
+                                                      train=self.train)
+                return
+            import collections
+            from concurrent.futures import ThreadPoolExecutor
+            window = 4 * self.num_workers  # bounded in-flight decode queue
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending = collections.deque()
+                it = iter(order)
+                for i in it:
+                    pending.append((int(i), pool.submit(
+                        self.dataset.load, int(i), sample_rng(i),
+                        train=self.train)))
+                    if len(pending) >= window:
+                        break
+                for i in it:
+                    idx, f = pending.popleft()
+                    yield idx, f.result()
+                    pending.append((int(i), pool.submit(
+                        self.dataset.load, int(i), sample_rng(i),
+                        train=self.train)))
+                while pending:
+                    idx, f = pending.popleft()
+                    yield idx, f.result()
+
         def producer(out_q: queue.Queue):
             if self.bucket_lengths is None:
                 batch: List[Dict[str, np.ndarray]] = []
-                for idx in order:
-                    s = self.dataset.load(int(idx), sample_rng(idx), train=self.train)
+                for idx, s in iter_samples():
                     if s is None:
                         self.skipped += 1
                         logger.warning("skipping unreadable record %d", idx)
@@ -244,9 +280,8 @@ class Loader:
             # still sees a mixed stream.
             buckets: Dict[int, List[Dict[str, np.ndarray]]] = \
                 {b: [] for b in self.bucket_lengths}
-            for idx in order:
-                b = self._bucket_of(int(idx))
-                s = self.dataset.load(int(idx), sample_rng(idx), train=self.train)
+            for idx, s in iter_samples():
+                b = self._bucket_of(idx)
                 if s is None:
                     self.skipped += 1
                     logger.warning("skipping unreadable record %d", idx)

@@ -93,7 +93,8 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
     if dataset is None:
         dataset = CXRImageDataset(cfg.image_dir, cfg.dataset_metadata,
                                   img_size=cfg.img_size)
-    loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed)
+    loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
+                    num_workers=min(8, cfg.data_loader_workers))
     logger.info("Total number of training images %d", len(dataset))
 
     model = build_ae_model(cfg)

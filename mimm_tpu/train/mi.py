@@ -257,7 +257,8 @@ class MultiModalManager:
                 img_size=cfg.img_size)
         buckets = list(getattr(cfg, "seq_buckets", ()) or ()) or None
         loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
-                        bucket_lengths=buckets)
+                        bucket_lengths=buckets,
+                        num_workers=min(8, cfg.data_loader_workers))
         logger.info("Total number of training image-report pairs: %d", len(dataset))
 
         txs = make_optimizers(cfg, steps_per_epoch=max(1, len(loader)))

@@ -232,3 +232,16 @@ def test_bucketed_loader_slices_text(tmp_path):
                      bucket_lengths=[64, 128, 192, 320]).epoch(0))
     for x, y in zip(batches, b2):
         np.testing.assert_array_equal(x["txt_ids"], y["txt_ids"])
+
+
+def test_loader_workers_deterministic(tmp_path):
+    """Thread-pool decoding must not change batch composition or order."""
+    from mimm_tpu.data.pipeline import CXRImageDataset, Loader
+
+    img_dir, meta = _write_mini_dataset(tmp_path, n=10, broken=1)
+    ds = CXRImageDataset(img_dir, meta, img_size=32)
+    serial = list(Loader(ds, batch_size=2, seed=3).epoch(0))
+    pooled = list(Loader(ds, batch_size=2, seed=3, num_workers=4).epoch(0))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a["image"], b["image"])
