@@ -174,3 +174,31 @@ def test_classifier_end_to_end(cfg):
     bins = [f for f in os.listdir(cfg.save_directory)
             if f.startswith("pytorch_image_classifier_Pneumonia")]
     assert bins, "reference-named classifier checkpoint missing"
+
+
+def test_mi_resume_continues_from_checkpoint(cfg):
+    """MI resume restores the full 3-optimizer state and lands on the same
+    result as an uninterrupted run."""
+    import jax
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import MultiModalManager
+
+    cfg = cfg.replace(img_size=256, max_seq_length=16, num_train_epochs=2)
+    tiny_bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=32, num_classes=1)
+    ds = FakePairedDataset(n=8, img=256, seq=16)
+
+    mgr = MultiModalManager(cfg, bert_config=tiny_bert, load_pretrained_bert=False)
+    s_full = mgr.train(token_features=None, dataset=ds, num_epochs=2,
+                       mesh=small_mesh(), export_torch_bins=False)
+
+    mgr2 = MultiModalManager(cfg, bert_config=tiny_bert, load_pretrained_bert=False)
+    s_res = mgr2.train(token_features=None, dataset=ds, num_epochs=2,
+                       mesh=small_mesh(), export_torch_bins=False,
+                       resume_from=os.path.join(cfg.save_directory, "mi_epoch1.ckpt"))
+
+    assert int(s_res.step) == int(s_full.step) == 4
+    a = jax.device_get(s_full.critic_params[0]["w"])
+    b = jax.device_get(s_res.critic_params[0]["w"])
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
