@@ -24,6 +24,59 @@ from .resnet import _torch_linear_init
 _LEAKY_SLOPE = 0.2
 
 
+class PatchConv(nn.Module):
+    """Conv2d with kernel == stride (non-overlapping patches), computed as
+    reshape + one MXU matmul — mathematically EXACT (flax Conv is
+    correlation; window positions align with patches) and far faster than
+    XLA's generic conv lowering for the AE's k=s convs (the multi-res skip
+    convs go up to 64x64 stride 64).  Parameter tree ('kernel' of shape
+    (k, k, in, out), 'bias') is identical to nn.Conv, so checkpoints and
+    the .bin converters are unaffected."""
+
+    features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.kernel
+        b_, h, w, c = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (n, n, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.reshape(b_, h // n, n, w // n, n, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h // n, w // n, n * n * c)
+        wmat = k.reshape(n * n * c, self.features).astype(self.dtype)
+        return x.astype(self.dtype) @ wmat + bias.astype(self.dtype)
+
+
+class PatchConvTranspose(nn.Module):
+    """ConvTranspose2d with kernel == stride: one matmul + pixel-shuffle
+    reshape, exact vs flax ConvTranspose(transpose_kernel=False).  Same
+    parameter tree as nn.ConvTranspose ('kernel' (k, k, in, out), 'bias')."""
+
+    features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        n = self.kernel
+        b_, h, w, c = z.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (n, n, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # flax ConvTranspose applies the kernel spatially FLIPPED relative
+        # to the patch-expansion order (empirically verified; matches the
+        # torch-interop flip in checkpoint._deconv)
+        k = k[::-1, ::-1]
+        wmat = k.transpose(2, 0, 1, 3).reshape(c, n * n * self.features)
+        y = z.astype(self.dtype) @ wmat.astype(self.dtype)
+        y = y.reshape(b_, h, w, n, n, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h * n, w * n, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class AEResidualBlock(nn.Module):
     """conv-BN-LeakyReLU x2 with identity shortcut
     (reference autoencoder_model.py:16-33)."""
@@ -76,12 +129,11 @@ class ResNetEncoder(nn.Module):
                 x = AEResidualBlock(n1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                                     name=f"level{i}_res{b}")(x, train=train)
             if self.use_multi_res_skips:
-                s = nn.Conv(max_filters, (ks, ks), strides=(ks, ks), padding=0,
-                            dtype=self.dtype, name=f"skip{i}_conv")(x)
+                s = PatchConv(max_filters, ks, dtype=self.dtype,
+                              name=f"skip{i}_conv")(x)
                 s = norm(f"skip{i}_bn")(s)
                 skips.append(nn.leaky_relu(s, _LEAKY_SLOPE))
-            x = nn.Conv(n2, (2, 2), strides=(2, 2), padding=0, dtype=self.dtype,
-                        name=f"down{i}_conv")(x)
+            x = PatchConv(n2, 2, dtype=self.dtype, name=f"down{i}_conv")(x)
             x = norm(f"down{i}_bn")(x)
             x = nn.leaky_relu(x, _LEAKY_SLOPE)
 
@@ -119,16 +171,16 @@ class ResNetDecoder(nn.Module):
         for i in range(self.n_levels):
             n1 = 2 ** (self.n_levels - i + 2)
             ks = 2 ** (i + 1)
-            z = nn.ConvTranspose(n1, (2, 2), strides=(2, 2), padding="VALID",
-                                 dtype=self.dtype, name=f"up{i}_conv")(z)
+            z = PatchConvTranspose(n1, 2, dtype=self.dtype,
+                                   name=f"up{i}_conv")(z)
             z = norm(f"up{i}_bn")(z)
             z = nn.leaky_relu(z, _LEAKY_SLOPE)
             for b in range(self.n_residual_blocks):
                 z = AEResidualBlock(n1, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                                     name=f"level{i}_res{b}")(z, train=train)
             if self.use_multi_res_skips:
-                s = nn.ConvTranspose(n1, (ks, ks), strides=(ks, ks), padding="VALID",
-                                     dtype=self.dtype, name=f"skip{i}_conv")(z_top)
+                s = PatchConvTranspose(n1, ks, dtype=self.dtype,
+                                       name=f"skip{i}_conv")(z_top)
                 s = norm(f"skip{i}_bn")(s)
                 z = z + nn.leaky_relu(s, _LEAKY_SLOPE)
 

@@ -127,3 +127,29 @@ def test_deconv_layout_matches_torch():
     got = deconv.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_patch_convs_match_flax_convs():
+    """PatchConv / PatchConvTranspose are bit-level replacements for
+    nn.Conv / nn.ConvTranspose with kernel == stride (same param tree)."""
+    import flax.linen as nn
+    import jax
+    from mimm_tpu.models.autoencoder import PatchConv, PatchConvTranspose
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 6))
+    for n, feats in ((2, 10), (8, 4)):
+        pc = PatchConv(feats, n)
+        v = pc.init(rng, x)
+        want = nn.Conv(feats, (n, n), strides=(n, n), padding=0).apply(
+            {"params": v["params"]}, x)
+        np.testing.assert_allclose(np.asarray(pc.apply(v, x)), np.asarray(want),
+                                   atol=2e-6)
+    z = jax.random.normal(rng, (2, 4, 4, 6))
+    for n, feats in ((2, 10), (4, 8)):
+        pt = PatchConvTranspose(feats, n)
+        v = pt.init(rng, z)
+        want = nn.ConvTranspose(feats, (n, n), strides=(n, n),
+                                padding="VALID").apply({"params": v["params"]}, z)
+        np.testing.assert_allclose(np.asarray(pt.apply(v, z)), np.asarray(want),
+                                   atol=2e-6)
