@@ -56,3 +56,27 @@ def test_serve_errors_without_classifier(tmp_path):
     import pytest
     with pytest.raises(RuntimeError, match="no classifier"):
         sess.classify(np.zeros((2, 256, 256, 1), np.float32))
+
+
+def test_serve_embed_texts(tmp_path):
+    from mimm_tpu.models.bert import BertConfig, TextBert
+
+    _make_artifacts(tmp_path)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=32, num_classes=1)
+    # export a tiny text model under the reference name
+    tb = TextBert(cfg)
+    v = tb.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    sd = ckpt.bert_state_dict_from_variables(v, cfg.num_hidden_layers)
+    ckpt.save_state_dict_bin(str(tmp_path / "pytorch_MI_text_model.bin"), sd)
+
+    sess = InferenceSession(str(tmp_path), batch_size=4, bert_config=cfg)
+    ids = np.ones((5, 8), np.int32)
+    masks = np.ones((5, 8), np.int32)
+    segs = np.zeros((5, 8), np.int32)
+    emb = sess.embed_texts(ids, masks, segs)
+    assert emb.shape == (5, 32)
+    want = tb.apply(v, jnp.asarray(ids), token_type_ids=jnp.asarray(segs),
+                    attention_mask=jnp.asarray(masks))[0]
+    np.testing.assert_allclose(emb, np.asarray(want), rtol=2e-4, atol=2e-5)
