@@ -1,0 +1,44 @@
+"""device_prefetch + ETL command construction coverage."""
+
+import numpy as np
+
+
+def test_device_prefetch_preserves_order_and_count():
+    from mimm_tpu.data.pipeline import device_prefetch
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(7)]
+    out = list(device_prefetch(iter(batches), size=3))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_device_prefetch_short_stream():
+    from mimm_tpu.data.pipeline import device_prefetch
+
+    batches = [{"x": np.ones((1,), np.float32)}]
+    out = list(device_prefetch(iter(batches), size=4))
+    assert len(out) == 1
+    assert list(device_prefetch(iter([]), size=2)) == []
+
+
+def test_select_studies_dedups_and_filters(tmp_path):
+    import csv
+    import gzip
+
+    from mimm_tpu.data.etl import select_studies
+
+    meta = tmp_path / "meta.csv.gz"
+    rows = [
+        ["dicom_id", "subject_id", "study_id", "x", "ViewPosition"],
+        ["d1", "10000001", "500", "", "PA"],
+        ["d2", "10000001", "500", "", "AP"],      # same study -> deduped
+        ["d3", "10000002", "501", "", "LATERAL"],  # wrong view -> dropped
+        ["d4", "11000003", "502", "", "PA"],       # p11 -> filtered out
+        ["d5", "10000004", "503", "", "AP"],
+    ]
+    with gzip.open(meta, "wt", newline="") as f:
+        csv.writer(f, lineterminator="\n").writerows(rows)
+
+    got = select_studies(str(meta), "p10")
+    assert got == [("d1", "10000001", "500"), ("d5", "10000004", "503")]
