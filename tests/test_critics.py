@@ -157,3 +157,54 @@ def test_global_negatives_all_gather():
 
     got = sharded(params, emb_img, emb_txt, sids)
     np.testing.assert_allclose(float(got), float(want), rtol=1e-4, atol=1e-4)
+
+
+def test_image_side_mi_bound_config2():
+    """BASELINE config #2: ResNet encoder + DV critic only — MI between two
+    augmented views' image embeddings (no text tower).  The objective API
+    is modality-agnostic: feed image embeddings on both sides."""
+    from mimm_tpu.models.resnet import ResNet256_6_2_1
+
+    model = ResNet256_6_2_1(output_channels=1, blocks_per_layer=(1,) * 6)
+    img = jax.random.normal(jax.random.PRNGKey(0), (4, 256, 256, 1))
+    img2 = img + 0.01 * jax.random.normal(jax.random.PRNGKey(1), img.shape)
+    variables = model.init(jax.random.PRNGKey(2), img, train=False)
+    params = make_mlp(jax.random.PRNGKey(3), 2 * 768, [32, 16])
+    sids = jnp.arange(4, dtype=jnp.int32)
+
+    def loss_fn(p, v):
+        e1 = model.apply(v, img, train=False)[1]
+        e2 = model.apply(v, img2, train=False)[1]
+        return mi_loss_from_embeddings(p, e1, e2, sids, "dv")
+
+    loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, variables)
+    assert jnp.isfinite(loss)
+    g_enc = jax.tree_util.tree_leaves(grads[1]["params"])
+    assert any(jnp.any(g != 0) for g in g_enc)  # bound trains the encoder
+
+
+def test_global_negatives_all_gather_infonce():
+    """BASELINE config #4: InfoNCE with cross-chip embedding all-gather."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("data",))
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, D = 16, 8
+    params = make_mlp(k1, 2 * D, [8])
+    emb_img = jax.random.normal(k2, (B, D))
+    emb_txt = jax.random.normal(k3, (B, D))
+    sids = jnp.arange(B, dtype=jnp.int32)
+
+    for estimator in ("infonce", "infonce_per_anchor"):
+        want = mi_loss_from_embeddings(params, emb_img, emb_txt, sids, estimator)
+        f = jax.jit(shard_map(
+            lambda p, a, b, s_: mi_loss_from_embeddings(
+                p, a, b, s_, estimator, axis_name="data"),
+            mesh=mesh, in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P(), check_vma=False))
+        got = f(params, emb_img, emb_txt, sids)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-4,
+                                   atol=1e-4, err_msg=estimator)
