@@ -49,7 +49,11 @@ def study_id_to_int(study_id: str) -> int:
     try:
         return int(study_id)
     except (TypeError, ValueError):
-        return hash(str(study_id)) % (2 ** 62)
+        # stable across processes/restarts (builtin hash() is salted per
+        # process, which would break bitwise replay for non-numeric ids)
+        import hashlib
+        digest = hashlib.md5(str(study_id).encode()).digest()
+        return int.from_bytes(digest[:8], "little") % (2 ** 62)
 
 
 def _read_metadata_csv(path: str) -> List[Dict[str, str]]:
