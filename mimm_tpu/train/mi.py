@@ -218,6 +218,27 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
     return path
 
 
+def make_mi_multi_step(model: ImageReportModel, txs: MIOptimizers, cfg):
+    """K chained train steps in ONE dispatch via lax.scan over a stacked
+    super-batch (leading axis num_steps).  Semantically identical to K
+    sequential ``make_mi_train_step`` calls; amortizes per-dispatch
+    overhead (~4 ms through the tunnel — ~9%% of a short-bucket step).
+    Returns (state, losses[num_steps])."""
+    single = make_mi_train_step(model, txs, cfg)
+    # reuse the single-step body without its jit wrapper by rebuilding it:
+    inner = single.__wrapped__ if hasattr(single, "__wrapped__") else None
+
+    @partial(jax.jit, donate_argnums=0)
+    def multi_step(state: MITrainState, batches):
+        def body(s, batch):
+            s, loss = (inner or single)(s, batch)
+            return s, loss
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 class MultiModalManager:
     """Reference-shaped manager facade (main_utils.py:53-78)."""
 
