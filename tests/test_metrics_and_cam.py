@@ -92,3 +92,21 @@ def test_find_classifier_checkpoint_picks_latest(tmp_path):
     assert got7.endswith("epoch7.bin")
     with pytest.raises(FileNotFoundError):
         find_classifier_checkpoint(str(tmp_path), "Pneumonia")
+
+
+def test_logfile_parser_reads_real_reference_log():
+    """Plot_Training_From_Logfile parses the reference's committed
+    mm_dv_epoch20 training log; values match BASELINE.md."""
+    import os
+
+    from mimm_tpu.metrics import Plot_Training_From_Logfile
+
+    ref_log = "/root/reference/save_dir/mm_dv_epoch20/training_MI.log"
+    if not os.path.exists(ref_log):
+        import pytest
+        pytest.skip("reference log not mounted")
+    losses = Plot_Training_From_Logfile(ref_log)
+    assert len(losses) == 20                       # 20 epochs
+    np.testing.assert_allclose(losses[0], -449.97904)   # BASELINE.md epoch 1
+    np.testing.assert_allclose(losses[-1], -5447.45191)  # epoch 20
+    assert all(b < a for a, b in zip(losses, losses[1:]))  # monotone decrease
