@@ -73,7 +73,11 @@ class TrainingConfig:
     data_loader_workers: int = 32
     num_train_epochs: int = 20
     num_train_epochs_classifier: int = 100
-    mi_estimator: str = "dv"  # 'dv' | 'infonce'
+    # 'dv' | 'infonce' (both reference-parity vector forms) |
+    # 'infonce_per_anchor' (textbook global-batch InfoNCE; no reference
+    # counterpart — the reference's infonce is DV-without-log(N),
+    # mi_critics.py:14-23)
+    mi_estimator: str = "dv"
     init_lr: float = 1e-4
     max_seq_length: int = 320
     img_size: int = 256
@@ -89,9 +93,13 @@ class TrainingConfig:
     # Compute dtype for the encoders ('bfloat16' keeps the MXU fed; params
     # and loss stay float32).
     compute_dtype: str = "bfloat16"
-    # Data-parallel negatives: when True, embeddings are all-gathered across
-    # the 'data' mesh axis so the critic sees the *global* batch (the
-    # reference is single-device and only sees the local batch).
+    # Data-parallel negatives: when True (default), the critic scores one
+    # (B_global, B_global) matrix — under pjit the cross-chip all-gather of
+    # embeddings comes out of XLA automatically.  When False, negatives are
+    # drawn only within each data shard's block (the reference's
+    # single-device pairing semantics at per-shard batch size; no gather
+    # is emitted) and the loss is the mean over blocks (train/mi.py
+    # make_mi_step_body).
     global_negatives: bool = True
     # Mesh shape, e.g. {'data': 8} or {'data': 4, 'model': 2}.
     mesh_shape: tuple = ()
@@ -106,6 +114,12 @@ class TrainingConfig:
     # Fused Pallas attention kernel (scores+softmax+dropout+context in
     # VMEM) for the text tower.
     flash_attention: bool = True
+    # Fine-tuning freeze options (reference model.py:83-89,490-495):
+    # freeze_image_encoder trains only the ResNet's layer6 blocks + fc head;
+    # freeze_text_encoder freezes the BERT trunk (classifier head trains).
+    # Frozen params receive exactly zero updates (train/optim.py freeze()).
+    freeze_image_encoder: bool = False
+    freeze_text_encoder: bool = False
     # Sequence-length buckets for the paired loader (e.g. (64,128,192,320));
     # empty = reference behavior (every report padded to max_seq_length).
     # Real MIMIC reports average ~85 tokens, so bucketing cuts text-tower

@@ -209,10 +209,30 @@ class Loader:
         # bit-deterministic regardless of worker count.
         self.num_workers = num_workers
         self.skipped = 0
+        self._batches_per_epoch: Optional[int] = None
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def batches_per_epoch(self) -> int:
+        """Exact number of batches yielded per epoch (modulo skipped bad
+        records).  With bucketing each bucket drops its own remainder under
+        ``drop_last``, so the count is strictly less than
+        ``len(dataset) // batch_size`` in general — resume step accounting
+        and LR-schedule ``t_total`` must use THIS, not ``len(loader)``."""
+        if self.bucket_lengths is None:
+            return len(self)
+        if self._batches_per_epoch is None:
+            counts = {b: 0 for b in self.bucket_lengths}
+            for idx in range(len(self.dataset)):
+                counts[self._bucket_of(idx)] += 1
+            if self.drop_last:
+                total = sum(c // self.batch_size for c in counts.values())
+            else:
+                total = sum(-(-c // self.batch_size) for c in counts.values())
+            self._batches_per_epoch = total
+        return self._batches_per_epoch
 
     def _bucket_of(self, idx: int) -> int:
         length = self.dataset.token_length(idx)

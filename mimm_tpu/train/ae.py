@@ -23,6 +23,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from mimm_tpu import checkpoint as ckpt
@@ -113,12 +114,16 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
     training_loss = []
     for epoch in range(start_epoch, num_epochs):
         start = time.time()
-        epoch_loss = 0.0
+        # Device-side loss accumulation: one host read per epoch instead of
+        # a ~25-40 ms tunnel round trip per step (keeps dispatch pipelined).
+        step_losses = []
         batches = (b["image"] for b in loader.epoch(epoch))
         for images in device_prefetch(batches, size=cfg.prefetch,
                                       sharding=mesh_lib.batch_sharding(mesh)):
             state, loss = train_step(state, images)
-            epoch_loss += float(loss)
+            step_losses.append(loss)
+        epoch_loss = float(np.sum(jax.device_get(step_losses))) \
+            if step_losses else 0.0
         training_loss.append(epoch_loss)
 
         path = save_ae_checkpoint(cfg.save_directory, state, epoch + 1,

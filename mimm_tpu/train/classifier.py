@@ -168,8 +168,9 @@ class ClassifierModelManager:
             for batch in self.train_loader.epoch(epoch):
                 emb = self.embed(batch["image"])
                 state, loss = step_fn(state, emb, jnp.asarray(batch["label"]))
-                step_losses.append(float(loss))
-            tr_loss = float(np.mean(step_losses)) if step_losses else 0.0
+                step_losses.append(loss)  # device scalar; read once per epoch
+            tr_loss = float(np.mean(jax.device_get(step_losses))) \
+                if step_losses else 0.0
 
             tr_acc, _, _ = evaluate(self.mlp, state.params, self.embed,
                                     self.train_loader, epoch)

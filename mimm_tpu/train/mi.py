@@ -36,6 +36,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from mimm_tpu import checkpoint as ckpt
@@ -47,6 +48,8 @@ from mimm_tpu.objectives import critics as critics_lib
 from mimm_tpu.objectives.pairing import pairwise_critic_scores
 from mimm_tpu.parallel import mesh as mesh_lib
 from mimm_tpu.train.optim import (adam_torch, adamw_hf, bert_decay_mask,
+                                  bert_trainable_mask, freeze,
+                                  resnet_trainable_mask,
                                   warmup_linear_schedule)
 
 logger = logging.getLogger(__name__)
@@ -92,12 +95,15 @@ def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
     sched = warmup_linear_schedule(cfg.bert_lr,
                                    warmup_steps=cfg.warmup_fraction * total,
                                    t_total=total)
-    return MIOptimizers(
-        img=adam_torch(cfg.init_lr),
-        mi=adam_torch(cfg.init_lr),
-        txt=adamw_hf(sched, eps=1e-6, weight_decay=0.1, correct_bias=False,
-                     mask=bert_decay_mask),
-    )
+    img = adam_torch(cfg.init_lr)
+    txt = adamw_hf(sched, eps=1e-6, weight_decay=0.1, correct_bias=False,
+                   mask=bert_decay_mask)
+    # Reference fine-tuning freezes (model.py:83-89,490-495), optax-style:
+    if getattr(cfg, "freeze_image_encoder", False):
+        img = freeze(img, resnet_trainable_mask)
+    if getattr(cfg, "freeze_text_encoder", False):
+        txt = freeze(txt, bert_trainable_mask)
+    return MIOptimizers(img=img, mi=adam_torch(cfg.init_lr), txt=txt)
 
 
 def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,
@@ -129,15 +135,44 @@ def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,
         step=jnp.zeros([], jnp.int32))
 
 
-def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
-                       axis_name: Optional[str] = None):
-    """One fused step: forward + pair-scores + bound + backward + 3 updates.
+def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
+                      data_shards: int = 1):
+    """UNJITTED step body (state, batch) -> (state, loss): forward +
+    pair-scores + bound + backward + all three optimizer updates.
 
-    ``axis_name`` is only for explicit shard_map use; under plain jit with a
-    sharded batch the global score matrix already spans all devices.
+    Shared by the jitted single step, the ``lax.scan`` multi-step, and
+    tests — one body, no re-derivation from a jit wrapper.
+
+    Negative sourcing (``cfg.global_negatives``):
+    * True (default): one (B, B) score matrix over the whole (global) batch.
+      Under pjit with the batch sharded over 'data', XLA inserts the
+      cross-chip all-gather itself — negatives span every chip.
+    * False with ``data_shards`` > 1: the batch is treated as
+      ``data_shards`` contiguous blocks and negatives are drawn only
+      within each block (the reference's single-device pairing semantics
+      at per-shard batch size); the loss is the mean over blocks.  The
+      blocked (n, b, d) layout keeps each block's score matrix on its own
+      shard, so NO embedding all-gather is emitted.
     """
     estimator = cfg.mi_estimator
     use_pallas = getattr(cfg, "use_pallas_critic", False)
+    local_blocks = 1 if getattr(cfg, "global_negatives", True) \
+        else max(1, int(data_shards))
+
+    def score_fn(critic_params, emb_img, emb_txt):
+        if use_pallas:
+            from mimm_tpu.ops.pairwise_critic import pairwise_critic_scores_pallas
+            return pairwise_critic_scores_pallas(critic_params, emb_img, emb_txt)
+        return pairwise_critic_scores(critic_params, emb_img, emb_txt)
+
+    def bound_fn(scores, sids):
+        if estimator == "dv":
+            return critics_lib.dv_bound_from_scores(scores, sids)
+        if estimator == "infonce":
+            return critics_lib.infonce_bound_from_scores(scores, sids)
+        if estimator == "infonce_per_anchor":
+            return critics_lib.infonce_per_anchor(scores, sids)
+        raise ValueError(f"unknown mi estimator: {estimator}")
 
     def mi_loss(joint_params, critic_params, batch_stats, batch, dropout_rng):
         outputs, mutated = model.apply(
@@ -147,27 +182,19 @@ def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
             rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
         emb_img, emb_txt, _, _ = outputs
         sids = batch["study_id"]
-        if axis_name is not None:
-            emb_img = jax.lax.all_gather(emb_img, axis_name, tiled=True)
-            emb_txt = jax.lax.all_gather(emb_txt, axis_name, tiled=True)
-            sids = jax.lax.all_gather(sids, axis_name, tiled=True)
-        if use_pallas:
-            from mimm_tpu.ops.pairwise_critic import pairwise_critic_scores_pallas
-            scores = pairwise_critic_scores_pallas(critic_params, emb_img, emb_txt)
+        if local_blocks > 1 and emb_img.shape[0] % local_blocks == 0:
+            n, b = local_blocks, emb_img.shape[0] // local_blocks
+            ei = emb_img.reshape(n, b, emb_img.shape[-1])
+            et = emb_txt.reshape(n, b, emb_txt.shape[-1])
+            si = sids.reshape(n, b)
+            scores = jax.vmap(lambda a, c: score_fn(critic_params, a, c))(ei, et)
+            loss = jnp.mean(jax.vmap(bound_fn)(scores, si))
         else:
-            scores = pairwise_critic_scores(critic_params, emb_img, emb_txt)
-        if estimator == "dv":
-            loss = critics_lib.dv_bound_from_scores(scores, sids)
-        elif estimator == "infonce":
-            loss = critics_lib.infonce_bound_from_scores(scores, sids)
-        elif estimator == "infonce_per_anchor":
-            loss = critics_lib.infonce_per_anchor(scores, sids)
-        else:
-            raise ValueError(f"unknown mi estimator: {estimator}")
+            scores = score_fn(critic_params, emb_img, emb_txt)
+            loss = bound_fn(scores, sids)
         return loss, mutated["batch_stats"]
 
-    @partial(jax.jit, donate_argnums=0)
-    def train_step(state: MITrainState, batch):
+    def step_body(state: MITrainState, batch):
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
         (loss, new_bs), grads = jax.value_and_grad(mi_loss, argnums=(0, 1),
                                                    has_aux=True)(
@@ -189,7 +216,14 @@ def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
         return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
                             txt_opt, state.step + 1), loss
 
-    return train_step
+    return step_body
+
+
+def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
+                       data_shards: int = 1):
+    """Jitted (donated-state) single train step; see make_mi_step_body."""
+    body = make_mi_step_body(model, txs, cfg, data_shards=data_shards)
+    return jax.jit(body, donate_argnums=0)
 
 
 def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
@@ -218,22 +252,17 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
     return path
 
 
-def make_mi_multi_step(model: ImageReportModel, txs: MIOptimizers, cfg):
+def make_mi_multi_step(model: ImageReportModel, txs: MIOptimizers, cfg,
+                       data_shards: int = 1):
     """K chained train steps in ONE dispatch via lax.scan over a stacked
     super-batch (leading axis num_steps).  Semantically identical to K
-    sequential ``make_mi_train_step`` calls; amortizes per-dispatch
-    overhead (~4 ms through the tunnel — ~9%% of a short-bucket step).
-    Returns (state, losses[num_steps])."""
-    single = make_mi_train_step(model, txs, cfg)
-    # reuse the single-step body without its jit wrapper by rebuilding it:
-    inner = single.__wrapped__ if hasattr(single, "__wrapped__") else None
+    sequential ``make_mi_train_step`` calls (same shared body); amortizes
+    per-dispatch overhead (~4 ms through the tunnel — ~9%% of a
+    short-bucket step).  Returns (state, losses[num_steps])."""
+    body = make_mi_step_body(model, txs, cfg, data_shards=data_shards)
 
     @partial(jax.jit, donate_argnums=0)
     def multi_step(state: MITrainState, batches):
-        def body(s, batch):
-            s, loss = (inner or single)(s, batch)
-            return s, loss
-
         return jax.lax.scan(body, state, batches)
 
     return multi_step
@@ -282,11 +311,15 @@ class MultiModalManager:
                         num_workers=min(8, cfg.data_loader_workers))
         logger.info("Total number of training image-report pairs: %d", len(dataset))
 
-        txs = make_optimizers(cfg, steps_per_epoch=max(1, len(loader)))
+        # True batches/epoch: under bucketing each bucket drops its own
+        # remainder, so len(loader) would overcount — skewing both the
+        # warmup schedule's t_total and resume epoch derivation.
+        steps_per_epoch = max(1, loader.batches_per_epoch())
+        txs = make_optimizers(cfg, steps_per_epoch=steps_per_epoch)
         start_epoch = 0
         if resume_from is not None:
             state = MITrainState(**ckpt.load_checkpoint(resume_from))
-            start_epoch = int(state.step) // max(1, len(loader))
+            start_epoch = int(state.step) // steps_per_epoch
             logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
                         int(state.step), start_epoch)
         else:
@@ -294,16 +327,25 @@ class MultiModalManager:
                                     jax.random.PRNGKey(cfg.seed),
                                     bert_variables=self.bert_variables)
         state = mesh_lib.replicate(mesh, state)
-        train_step = make_mi_train_step(self.model, txs, cfg)
+        data_shards = 1 if cfg.global_negatives else \
+            int(dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1))
+        train_step = make_mi_train_step(self.model, txs, cfg,
+                                        data_shards=data_shards)
 
         training_loss = []
         for epoch in range(start_epoch, num_epochs):
             start = time.time()
-            epoch_loss = 0.0
+            # Accumulate step losses as device scalars and read them ONCE at
+            # epoch end: a per-step float(loss) would force a device->host
+            # round trip (~25-40 ms through the axon tunnel) that serializes
+            # the otherwise fully pipelined dispatch chain.
+            step_losses = []
             for batch in device_prefetch(loader.epoch(epoch), size=cfg.prefetch,
                                          sharding=mesh_lib.batch_sharding(mesh)):
                 state, loss = train_step(state, batch)
-                epoch_loss += float(loss)
+                step_losses.append(loss)
+            epoch_loss = float(np.sum(jax.device_get(step_losses))) \
+                if step_losses else 0.0
             training_loss.append(epoch_loss)
 
             path = save_mi_checkpoints(cfg.save_directory, state, epoch + 1,

@@ -42,7 +42,9 @@ def warmup_linear_schedule(base_lr: float, warmup_steps: float, t_total: int):
     warmup = float(warmup_steps)
 
     def schedule(count):
-        count = jnp.asarray(count, jnp.float32)
+        # canonical float dtype: f32 normally, f64 under enable_x64 (the
+        # float64 reference-parity golden needs the lr exact to f64)
+        count = jnp.asarray(count, jnp.result_type(float))
         warm = count / jnp.maximum(1.0, warmup)
         decay = jnp.maximum(0.0, (t_total - count) / jnp.maximum(1.0, t_total - warmup))
         return base_lr * jnp.where(count < warmup, warm, decay)
@@ -79,16 +81,22 @@ def adamw_hf(learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
         if correct_bias:
-            c = count.astype(jnp.float32)
+            c = count.astype(jnp.result_type(float))
             step_size = lr * jnp.sqrt(1 - b2 ** c) / (1 - b1 ** c)
         else:
             step_size = lr
         decay_mask = (mask(params) if callable(mask) else mask) if mask is not None \
             else jax.tree.map(lambda _: True, params)
-        updates = jax.tree.map(
-            lambda m, v, p, dm: -step_size * m / (jnp.sqrt(v) + eps)
-            - (lr * weight_decay * p if (dm and weight_decay > 0.0) else 0.0),
-            mu, nu, params, decay_mask)
+
+        def upd(m, v, p, dm):
+            s = -step_size * m / (jnp.sqrt(v) + eps)
+            if dm and weight_decay > 0.0:
+                # pytorch_transformers applies decoupled decay to the
+                # POST-adam-step value: p <- (p + s) - lr*wd*(p + s)
+                s = s - lr * weight_decay * (p + s)
+            return s
+
+        updates = jax.tree.map(upd, mu, nu, params, decay_mask)
         return updates, _AdamWHFState(count, mu, nu)
 
     return optax.GradientTransformation(init, update)
@@ -112,6 +120,41 @@ def bert_decay_mask(params) -> dict:
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
         treedef, [leaves[tuple(p)] for p, _ in flat])
+
+
+def freeze(tx: optax.GradientTransformation,
+           trainable_mask_fn) -> optax.GradientTransformation:
+    """Wrap ``tx`` so parameters where ``trainable_mask_fn(params)`` is
+    False receive ZERO updates (true freezing — no optimizer math, no
+    moment drift, and jax.grad dead-code-eliminates their backward where
+    possible).  The reference freezes by excluding params from the
+    optimizer's param groups (model.py:83-89,490-495); this is the optax
+    equivalent."""
+
+    def labels(params):
+        return jax.tree.map(lambda t: "train" if t else "freeze",
+                            trainable_mask_fn(params))
+
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+                                 labels)
+
+
+def resnet_trainable_mask(params) -> dict:
+    """Reference ``ResNet256_6_2_1.freeze_encoder`` (model.py:490-495):
+    freeze everything except the last residual stage (layer6 blocks) and
+    the fc head — the fine-tuning configuration."""
+    def sub(key, subtree):
+        t = key.startswith("layer6") or key.startswith("fc")
+        return jax.tree.map(lambda _: t, subtree)
+
+    return {k: sub(k, v) for k, v in params.items()}
+
+
+def bert_trainable_mask(params) -> dict:
+    """Reference ``TextBert.freeze_bert_encoder`` (model.py:83-86): freeze
+    the BERT trunk; the classifier head stays trainable."""
+    return {k: jax.tree.map(lambda _: k != "bert", v)
+            for k, v in params.items()}
 
 
 def sgd_torch(learning_rate, momentum: float = 9e-4, weight_decay: float = 1e-8,

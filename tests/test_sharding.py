@@ -67,6 +67,55 @@ def test_dp_sharded_step_matches_unsharded(img_size):
     np.testing.assert_allclose(float(loss4b), float(loss1b), rtol=5e-4, atol=5e-5)
 
 
+def test_local_negatives_block_mode():
+    """cfg.global_negatives=False with data_shards=n draws negatives only
+    within each contiguous per-shard block (the reference's single-device
+    pairing semantics at per-shard batch size): the step loss equals the
+    mean of per-block DV bounds over the same forward embeddings."""
+    from mimm_tpu.objectives import critics as critics_lib
+    from mimm_tpu.objectives.pairing import pairwise_critic_scores
+    from mimm_tpu.train.mi import create_mi_state
+
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0,
+        global_negatives=False)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    batch = _make_batch(8, 128, 16)
+
+    # host copies BEFORE the donated step consumes the state
+    params0 = jax.tree.map(np.asarray, jax.device_get(state.params))
+    critic0 = jax.tree.map(np.asarray, jax.device_get(state.critic_params))
+    bs0 = jax.tree.map(np.asarray, jax.device_get(state.batch_stats))
+
+    mesh4 = mesh_lib.make_mesh({"data": 4})
+    s4 = mesh_lib.replicate(mesh4, state)
+    b4 = mesh_lib.shard_batch(mesh4, batch)
+    step_local = make_mi_train_step(model, txs, cfg, data_shards=4)
+    _, loss_local = step_local(s4, b4)
+
+    # expected: same forward (same fold_in(seed, step=0) dropout stream),
+    # then DV per contiguous block of 2, averaged
+    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0)
+    outputs, _ = model.apply(
+        {"params": params0, "batch_stats": bs0},
+        batch["image"], batch["txt_ids"], batch["txt_masks"],
+        batch["txt_segments"], train=True, rngs={"dropout": rng},
+        mutable=["batch_stats"])
+    ei, et = outputs[0], outputs[1]
+    block_losses = []
+    for i in range(4):
+        sl = slice(2 * i, 2 * (i + 1))
+        sc = pairwise_critic_scores(critic0, ei[sl], et[sl])
+        block_losses.append(float(critics_lib.dv_bound_from_scores(
+            sc, batch["study_id"][sl])))
+    np.testing.assert_allclose(float(loss_local), np.mean(block_losses),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_create_mi_state_derives_critic_width_from_model():
     """No hidden 256px assumption: at img_size=128 the ResNet embedding is
     192-d and the critic input adapts."""
