@@ -30,20 +30,57 @@ import numpy as np
 # Plots (reference utils.py:29-40)
 # ---------------------------------------------------------------------------
 
-def Plot_Training(xlabel: str, ylabel: str, title: str, data: Sequence[Sequence[float]],
-                  dataLabel: Sequence[str], out_imgage_file: str) -> None:
+def Plot_Training(xlabel: str, ylabel: str, title: str,
+                  data: Sequence[Sequence[float]],
+                  dataLabel: Sequence[str], out_image_file: str) -> None:
+    """Write a multi-series training-curve PNG.
+
+    Same call contract as the reference plot helper (utils.py:29-40) so the
+    entry points produce the same artifacts, but drawn on an explicit
+    Figure/Axes pair — no global pyplot state leaks between the sweep
+    loops' many plot calls.
+    """
     import matplotlib
     matplotlib.use("Agg")
-    from matplotlib import pyplot as plt
+    from matplotlib.figure import Figure
 
-    plt.xlabel(xlabel)
-    plt.ylabel(ylabel)
-    plt.title(title)
+    fig = Figure(figsize=(8.0, 5.0))
+    ax = fig.subplots()
     for series, label in zip(data, dataLabel):
-        plt.plot(list(series), label=label)
-    plt.legend()
-    plt.savefig(out_imgage_file)
-    plt.clf()
+        ax.plot(list(series), label=str(label))
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    if len(dataLabel):
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_image_file)
+
+
+def PrintModel(params, logger: Optional[logging.Logger] = None,
+               print_values: bool = True) -> int:
+    """Dump every parameter (path, shape, dtype, and by default the values)
+    — the reference's ``PrintModel`` weight dump (utils.py:21-26), which
+    prints each named tensor of the model.  Accepts any pytree of arrays
+    (flax params, a flat state_dict, optimizer moments...).  Returns the
+    total parameter count."""
+    import jax
+
+    log = (logger or logging.getLogger("mimm_tpu.model")).info
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    for path, leaf in leaves:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        arr = np.asarray(leaf)
+        total += int(arr.size)
+        if print_values:
+            log("%s %s %s\n%s", name, arr.shape, arr.dtype, arr)
+        else:
+            log("%s %s %s", name, arr.shape, arr.dtype)
+    log("total parameters: %d", total)
+    return total
 
 
 def Plot_Training_From_Logfile(log_file: str, out_image_file: Optional[str] = None):

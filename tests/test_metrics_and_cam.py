@@ -110,3 +110,52 @@ def test_logfile_parser_reads_real_reference_log():
     np.testing.assert_allclose(losses[0], -449.97904)   # BASELINE.md epoch 1
     np.testing.assert_allclose(losses[-1], -5447.45191)  # epoch 20
     assert all(b < a for a, b in zip(losses, losses[1:]))  # monotone decrease
+
+
+def test_plot_training_writes_png(tmp_path):
+    from mimm_tpu.metrics import Plot_Training
+
+    out = str(tmp_path / "curve.png")
+    Plot_Training("Epochs", "Loss", "t", [[3.0, 2.0, 1.0], [2.5, 2.0, 1.5]],
+                  ["train", "val"], out)
+    with open(out, "rb") as f:
+        assert f.read(8).startswith(b"\x89PNG")
+
+
+def test_print_model_counts_params(caplog):
+    import logging
+
+    from mimm_tpu.metrics import PrintModel
+
+    params = {"layer": {"w": np.zeros((3, 4)), "b": np.zeros(4)}}
+    with caplog.at_level(logging.INFO, logger="mimm_tpu.model"):
+        total = PrintModel(params)
+    assert total == 16
+    text = caplog.text
+    assert "layer/w" in text and "(3, 4)" in text
+
+
+def test_checkpoint_version_envelope(tmp_path):
+    import pickle
+
+    from mimm_tpu import checkpoint as ckpt
+
+    tree = {"a": np.arange(3), "step": 7}
+    p = ckpt.save_checkpoint(str(tmp_path / "x.ckpt"), tree)
+    got = ckpt.load_checkpoint(p)
+    np.testing.assert_array_equal(got["a"], tree["a"])
+    assert got["step"] == 7
+
+    # round-1 bare trees (no envelope) still load
+    legacy = str(tmp_path / "legacy.ckpt")
+    with open(legacy, "wb") as f:
+        pickle.dump(tree, f)
+    np.testing.assert_array_equal(ckpt.load_checkpoint(legacy)["a"], tree["a"])
+
+    # future formats are refused, not mis-parsed
+    newer = str(tmp_path / "new.ckpt")
+    with open(newer, "wb") as f:
+        pickle.dump({"__mimm_ckpt__": 99, "tree": tree}, f)
+    import pytest
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(newer)
