@@ -52,8 +52,14 @@ def train_Classifier(base_cfg, isMultiModal: bool):
     from mimm_tpu.train.classifier import make_embedding_fn
 
     if isMultiModal:
-        run_dir = os.path.join(base_cfg.save_directory,
-                               f"{base_cfg.mi_estimator}_epoch{base_cfg.num_train_epochs}")
+        run_dir = os.path.join(
+            base_cfg.save_directory,
+            f"mm_{base_cfg.mi_estimator}_epoch{base_cfg.num_train_epochs}")
+        if not os.path.isdir(run_dir):  # round-1 layout fallback
+            legacy = os.path.join(
+                base_cfg.save_directory,
+                f"{base_cfg.mi_estimator}_epoch{base_cfg.num_train_epochs}")
+            run_dir = legacy if os.path.isdir(legacy) else run_dir
         model = ResNet256_6_2_1(output_channels=base_cfg.output_channels)
         variables = ckpt.load_resnet_from_bin(
             os.path.join(run_dir, "pytorch_MI_image_model.bin"))

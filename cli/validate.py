@@ -15,16 +15,37 @@ def main():
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--disease", default="Pneumonia")
     parser.add_argument("--classifier_epoch", type=int, default=None)
+    parser.add_argument("--modality", choices=("mm", "um"), default="mm",
+                        help="mm: MI image encoder (reference "
+                             "validate_MultiModal); um: ResNetAE encoder "
+                             "(reference um_*.log runs)")
+    parser.add_argument("--ae_epoch", type=int, default=None)
     known, rest = parser.parse_known_args()
     cfg = construct_training_parameters(rest)
 
-    from mimm_tpu.validate import validate_MultiModal
+    from mimm_tpu.validate import validate_MultiModal, validate_UniModal
 
-    run_dir = os.path.join(cfg.save_directory,
-                           f"{cfg.mi_estimator}_epoch{cfg.num_train_epochs}")
-    cfg = cfg.replace(save_directory=run_dir)
-    accuracy, separability = validate_MultiModal(
-        cfg, MLP_LAYER, known.disease, classifier_epoch=known.classifier_epoch)
+    if known.modality == "mm":
+        run_dir = os.path.join(
+            cfg.save_directory,
+            f"mm_{cfg.mi_estimator}_epoch{cfg.num_train_epochs}")
+        if not os.path.isdir(run_dir):  # round-1 layout fallback
+            legacy = os.path.join(
+                cfg.save_directory,
+                f"{cfg.mi_estimator}_epoch{cfg.num_train_epochs}")
+            run_dir = legacy if os.path.isdir(legacy) else run_dir
+        cfg = cfg.replace(save_directory=run_dir)
+        accuracy, separability = validate_MultiModal(
+            cfg, MLP_LAYER, known.disease,
+            classifier_epoch=known.classifier_epoch)
+    else:
+        run_dir = os.path.join(cfg.save_directory,
+                               f"um_ae_epoch{cfg.num_train_epochs}")
+        if os.path.isdir(run_dir):
+            cfg = cfg.replace(save_directory=run_dir)
+        accuracy, separability = validate_UniModal(
+            cfg, MLP_LAYER, known.disease,
+            classifier_epoch=known.classifier_epoch, ae_epoch=known.ae_epoch)
     print(f"Accuracy: {accuracy}")
     print(f"Separability: {separability}")
     return accuracy, separability

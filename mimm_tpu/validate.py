@@ -43,10 +43,7 @@ def find_classifier_checkpoint(save_directory: str, disease: str,
     return candidates[-1]
 
 
-def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
-                        dataset=None, classifier_epoch: Optional[int] = None
-                        ) -> Tuple[float, float]:
-    """Returns (accuracy, separability) like reference validate.py:63-153."""
+def _make_loader(cfg, disease: str, dataset=None):
     from mimm_tpu.data.pipeline import CXRImageDiseaseDataset, Loader
 
     if dataset is None:
@@ -54,25 +51,23 @@ def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
             img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
             disease=disease, disease_stats=cfg.dataset_disease_stats,
             img_size=cfg.img_size)
-    loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
-                    train=False, drop_last=False)
+    return Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
+                  train=False, drop_last=False)
 
-    image_model = ResNet256_6_2_1(output_channels=cfg.output_channels)
-    img_vars = ckpt.load_resnet_from_bin(
-        os.path.join(cfg.save_directory, "pytorch_MI_image_model.bin"))
 
-    clf = BasicMLP(768, mlp_layer)
+def _load_classifier(cfg, mlp_layer: List[int], disease: str,
+                     classifier_epoch: Optional[int], embedding_dim: int):
+    clf = BasicMLP(embedding_dim, mlp_layer)
     clf_path = find_classifier_checkpoint(cfg.save_directory, disease,
                                           classifier_epoch)
     clf_params = ckpt.mlp_params_from_state_dict(ckpt.load_state_dict_bin(clf_path))
     logger.info("Loaded classifier from %s", clf_path)
+    return clf, clf_params
 
-    @jax.jit
-    def forward(images):
-        outs = image_model.apply(img_vars, images, train=False)
-        emb = outs[1]
-        return emb, clf.apply(clf_params, emb)[:, 0]
 
+def _run_validation(forward, loader) -> Tuple[float, float]:
+    """Shared test loop (reference validate.py:111-151): accuracy =
+    mean(round(sigmoid) == label); GDV over collected pos/neg embeddings."""
     test_count = total = 0
     pos_emb, neg_emb = [], []
     for batch in loader.epoch(0):
@@ -90,3 +85,68 @@ def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
         if pos_emb and neg_emb else float("nan")
     logger.info("Accuracy: %s  Separability: %s", accuracy, separability)
     return accuracy, separability
+
+
+def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
+                        dataset=None, classifier_epoch: Optional[int] = None
+                        ) -> Tuple[float, float]:
+    """Returns (accuracy, separability) like reference validate.py:63-153."""
+    loader = _make_loader(cfg, disease, dataset)
+
+    image_model = ResNet256_6_2_1(output_channels=cfg.output_channels)
+    img_vars = ckpt.load_resnet_from_bin(
+        os.path.join(cfg.save_directory, "pytorch_MI_image_model.bin"))
+    # the 768-d embedding z is fc1's INPUT (resnet.py: z -> Dense fc1 logits)
+    emb_dim = int(np.asarray(img_vars["params"]["fc1"]["kernel"]).shape[0])
+    clf, clf_params = _load_classifier(cfg, mlp_layer, disease,
+                                       classifier_epoch, emb_dim)
+
+    @jax.jit
+    def forward(images):
+        outs = image_model.apply(img_vars, images, train=False)
+        emb = outs[1]
+        return emb, clf.apply(clf_params, emb)[:, 0]
+
+    return _run_validation(forward, loader)
+
+
+def find_ae_checkpoint(save_directory: str, epoch: Optional[int] = None) -> str:
+    """Latest (or requested-epoch) ``autoencoder_path_<N>.bin`` — the UM
+    chain's pretrained encoder (reference train.py:98-111)."""
+    if epoch is not None:
+        return os.path.join(save_directory, f"autoencoder_path_{epoch}.bin")
+    candidates = sorted(
+        glob.glob(os.path.join(save_directory, "autoencoder_path_*.bin")),
+        key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    if not candidates:
+        raise FileNotFoundError(f"no autoencoder checkpoint in {save_directory}")
+    return candidates[-1]
+
+
+def validate_UniModal(cfg, mlp_layer: List[int], disease: str,
+                      dataset=None, classifier_epoch: Optional[int] = None,
+                      ae_epoch: Optional[int] = None) -> Tuple[float, float]:
+    """Unimodal counterpart (reference validate.py's um_*.log runs,
+    save_dir/validation/um_*.log): embeddings come from the pretrained
+    ResNetAE bottleneck (``ResNetAE.encode``, autoencoder_model.py:206-208)
+    loaded from ``autoencoder_path_<N>.bin``, then the same accuracy + GDV
+    pass — completing the headline MM-vs-UM comparison end to end."""
+    from mimm_tpu.models.autoencoder import ResNetAE
+    from mimm_tpu.train.ae import build_ae_model
+
+    loader = _make_loader(cfg, disease, dataset)
+
+    ae = build_ae_model(cfg)
+    ae_path = find_ae_checkpoint(cfg.save_directory, ae_epoch)
+    ae_vars = ckpt.ae_variables_from_state_dict(ckpt.load_state_dict_bin(ae_path))
+    logger.info("Loaded autoencoder from %s", ae_path)
+    emb_dim = int(np.asarray(ae_vars["params"]["fc1"]["kernel"]).shape[-1])
+    clf, clf_params = _load_classifier(cfg, mlp_layer, disease,
+                                       classifier_epoch, emb_dim)
+
+    @jax.jit
+    def forward(images):
+        emb = ae.apply(ae_vars, images, train=False, method=ResNetAE.encode)
+        return emb, clf.apply(clf_params, emb)[:, 0]
+
+    return _run_validation(forward, loader)
