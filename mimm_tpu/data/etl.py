@@ -245,6 +245,65 @@ def populate_all_data(cfg, subfolders: Sequence[str], out_dir: Optional[str] = N
     return out_path
 
 
+def _all_data_study_ids(all_data_path: str) -> set:
+    with open(all_data_path, encoding="utf-8") as f:
+        return {line[2] for line in csv.reader(f, delimiter="\t") if len(line) > 2}
+
+
+def find_missing_label_studies(all_data_path: str, label_csv_path: str
+                               ) -> List[str]:
+    """Detection pass after a partial download: study ids present in the
+    label CSV (``mimic_id,<14 labels>`` rows) but absent from
+    ``all_data.tsv`` (reference
+    fix_missing_studies_for_training_label_negbio_from_download,
+    dataset_populate.py:521-566).  Returns the missing study ids."""
+    from mimm_tpu.utils import MimicID
+
+    have = _all_data_study_ids(all_data_path)
+    missing: List[str] = []
+    with open(label_csv_path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i == 0:
+                continue  # header
+            mimic_id = line.split(",", 1)[0]
+            file_id = os.path.basename(mimic_id)
+            study = MimicID.get_study_id(file_id)
+            if study not in have:
+                missing.append(study)
+    logger.info("label CSV studies missing from all_data: %d", len(missing))
+    return missing
+
+
+def repair_all_data_from_subfolder(cfg, subfolder: str,
+                                   out_dir: Optional[str] = None) -> int:
+    """Repair flow for resumed/partial downloads: append any studies found
+    in a subfolder TSV but missing from ``all_data.tsv`` (reference
+    fix_missing_studies_for_all_data_from_download,
+    dataset_populate.py:568-610; same appended-row contract:
+    index, -1, study_id, subfolder, text).  Returns the row count added."""
+    out_dir = out_dir or cfg.training_text_dir
+    all_data = os.path.join(out_dir, "all_data.tsv")
+    src = os.path.join(cfg.text_storage_dir, f"data_subfolder_{subfolder}.tsv")
+    if not os.path.exists(src):
+        logger.warning("no subfolder TSV at %s — nothing to repair", src)
+        return 0
+    have = _all_data_study_ids(all_data) if os.path.exists(all_data) else set()
+
+    added = 0
+    with open(src, encoding="utf-8") as f, \
+            open(all_data, "a", encoding="utf8", newline="") as out:
+        writer = csv.writer(out, delimiter="\t", lineterminator="\n")
+        for line in csv.reader(f, delimiter="\t"):
+            study = line[2]
+            if study in have:
+                continue
+            writer.writerow([added, -1, study, subfolder, line[-1]])
+            have.add(study)
+            added += 1
+    logger.info("repaired all_data.tsv: +%d studies from %s", added, subfolder)
+    return added
+
+
 # ---------------------------------------------------------------------------
 # Train/test split + label tables + stats
 # ---------------------------------------------------------------------------
