@@ -1,9 +1,11 @@
 """Checkpointing: native pytree checkpoints + reference `.bin` interop.
 
 Native format: a single checkpoint tree (params + batch_stats + optimizer
-states + step + RNG + data-pipeline state) serialized with flax msgpack —
-the resume story the reference lacks (it saves per-epoch ``state_dict``s
-but never optimizer state; SURVEY.md §5 checkpoint/resume).
+states + step + RNG + data-pipeline state) serialized as a *versioned
+pickle envelope* of host numpy arrays ({"__mimm_ckpt__": version,
+"tree": ...}) — the resume story the reference lacks (it saves per-epoch
+``state_dict``s but never optimizer state; SURVEY.md §5 checkpoint/resume).
+Loading accepts both the envelope and round-1 bare-tree files.
 
 Interop: importers/exporters for the reference's PyTorch naming contracts
 so parity runs can exchange weights (reference model.py:384-497,557-595;
@@ -37,18 +39,33 @@ import numpy as np
 # Native checkpoints
 # ---------------------------------------------------------------------------
 
+# Bump when the on-disk layout changes; load_checkpoint refuses newer
+# versions instead of mis-parsing them.
+CKPT_FORMAT_VERSION = 1
+
+
 def save_checkpoint(path: str, tree: Any) -> str:
-    """Serialize a pytree (params/opt_state/step/...) to ``path``."""
+    """Serialize a pytree (params/opt_state/step/...) to ``path`` as a
+    versioned pickle envelope of host numpy arrays."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     host_tree = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
     with open(path, "wb") as f:
-        pickle.dump(host_tree, f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump({"__mimm_ckpt__": CKPT_FORMAT_VERSION, "tree": host_tree},
+                    f, protocol=pickle.HIGHEST_PROTOCOL)
     return path
 
 
 def load_checkpoint(path: str) -> Any:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        obj = pickle.load(f)
+    if isinstance(obj, dict) and "__mimm_ckpt__" in obj:
+        version = obj["__mimm_ckpt__"]
+        if version > CKPT_FORMAT_VERSION:
+            raise ValueError(
+                f"{path} is checkpoint format v{version}; this build reads "
+                f"up to v{CKPT_FORMAT_VERSION}")
+        return obj["tree"]
+    return obj  # round-1 unversioned bare tree
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +139,78 @@ def _deconv_back(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w[::-1, ::-1], (2, 3, 0, 1)))
 
 
+def _flatten_perm(c: int, h: int, w: int) -> np.ndarray:
+    """Index map between torch's NCHW flatten and flax's NHWC flatten:
+    ``perm[i_nhwc] = i_nchw`` (i.e. flax_z == torch_z[perm]).  Linear layers
+    that consume or produce a flattened conv feature map must be re-wired
+    with this during .bin import/export, or cross-framework weight exchange
+    silently permutes the embedding (caught by the torch full-forward
+    golden, tests/test_reference_step_parity.py)."""
+    return np.arange(c * h * w).reshape(c, h, w).transpose(1, 2, 0).reshape(-1)
+
+
+def _linear_in_perm(w_torch: np.ndarray, c: int) -> np.ndarray:
+    """torch Linear weight (out, in) whose INPUT is a flattened (C,H,W)
+    feature map -> flax Dense kernel (in, out) for an (H,W,C) flatten."""
+    n = w_torch.shape[1]
+    hw = n // c
+    h = int(round(hw ** 0.5))
+    if c * h * h != n:
+        return _t(w_torch)  # non-square geometry: leave unpermuted
+    return _t(w_torch[:, _flatten_perm(c, h, h)])
+
+
+def _linear_in_perm_back(kernel: np.ndarray, c: int) -> np.ndarray:
+    n = kernel.shape[0]
+    hw = n // c
+    h = int(round(hw ** 0.5))
+    wt = _t(kernel)
+    if c * h * h != n:
+        return wt
+    out = np.empty_like(wt)
+    out[:, _flatten_perm(c, h, h)] = wt
+    return out
+
+
+def _linear_out_perm(w_torch: np.ndarray, c: int) -> np.ndarray:
+    """torch Linear weight (out, in) whose OUTPUT is reshaped to a (C,H,W)
+    feature map -> flax Dense kernel (in, out) for an (H,W,C) reshape."""
+    m = w_torch.shape[0]
+    h = int(round((m // c) ** 0.5))
+    if c * h * h != m:
+        return _t(w_torch)
+    return _t(w_torch[_flatten_perm(c, h, h), :])
+
+
+def _linear_out_perm_back(kernel: np.ndarray, c: int) -> np.ndarray:
+    m = kernel.shape[1]
+    h = int(round((m // c) ** 0.5))
+    wt = _t(kernel)
+    if c * h * h != m:
+        return wt
+    out = np.empty_like(wt)
+    out[_flatten_perm(c, h, h), :] = wt
+    return out
+
+
+def _vec_perm(b: np.ndarray, c: int) -> np.ndarray:
+    m = b.shape[0]
+    h = int(round((m // c) ** 0.5))
+    if c * h * h != m:
+        return b
+    return b[_flatten_perm(c, h, h)]
+
+
+def _vec_perm_back(b: np.ndarray, c: int) -> np.ndarray:
+    m = b.shape[0]
+    h = int(round((m // c) ** 0.5))
+    if c * h * h != m:
+        return b
+    out = np.empty_like(b)
+    out[_flatten_perm(c, h, h)] = b
+    return out
+
+
 def _put(tree: dict, path: List[str], value) -> None:
     node = tree
     for p in path[:-1]:
@@ -161,7 +250,10 @@ def resnet_variables_from_state_dict(sd: Dict[str, np.ndarray],
                      _conv(sd[f"{tp}.downsample.0.weight"]))
                 _resnet_bn(v, [fp, "downsample_bn"], sd, f"{tp}.downsample.1")
     if with_fc and "fc1.weight" in sd:
-        _put(v["params"], ["fc1", "kernel"], _t(sd["fc1.weight"]))
+        # fc1 consumes the flattened 2x2x192 avgpool map: torch flattens
+        # NCHW, flax NHWC — re-wire the input rows (192 = planes[-1])
+        _put(v["params"], ["fc1", "kernel"],
+             _linear_in_perm(sd["fc1.weight"], c=192))
         _put(v["params"], ["fc1", "bias"], sd["fc1.bias"])
     return v
 
@@ -195,7 +287,8 @@ def resnet_state_dict_from_variables(variables: dict,
                     np.asarray(p[fp]["downsample_conv"]["kernel"]))
                 bn(f"{tp}.downsample.1", p[fp]["downsample_bn"], bs[fp]["downsample_bn"])
     if "fc1" in p:
-        sd["fc1.weight"] = _t(np.asarray(p["fc1"]["kernel"]))
+        sd["fc1.weight"] = _linear_in_perm_back(np.asarray(p["fc1"]["kernel"]),
+                                                c=192)
         sd["fc1.bias"] = np.asarray(p["fc1"]["bias"])
     return sd
 
@@ -321,7 +414,7 @@ def _seq_bn(v, flax_path, sd, tp):
 
 
 def ae_variables_from_state_dict(sd: Dict[str, np.ndarray], n_levels: int = 6,
-                                 n_res: int = 2) -> dict:
+                                 n_res: int = 2, z_dim: int = 192) -> dict:
     """Reference ResNetAE state dict -> flax ResNetAE variables."""
     v = {"params": {"encoder": {}, "decoder": {}}, "batch_stats": {"encoder": {}, "decoder": {}}}
 
@@ -370,15 +463,20 @@ def ae_variables_from_state_dict(sd: Dict[str, np.ndarray], n_levels: int = 6,
             bn("decoder", [f"skip{i}_bn"], f"decoder.multi_res_skip_list.{i}.1")
     conv("decoder", ["output_conv"], "decoder.output_conv")
 
-    _put(v["params"], ["fc1", "kernel"], _t(sd["fc1.weight"]))
+    # fc1 consumes / fc2 produces the flattened (z_dim, lat, lat) map:
+    # re-wire for the NCHW (torch) vs NHWC (flax) flatten order
+    _put(v["params"], ["fc1", "kernel"], _linear_in_perm(sd["fc1.weight"],
+                                                         c=z_dim))
     _put(v["params"], ["fc1", "bias"], sd["fc1.bias"])
-    _put(v["params"], ["fc2", "kernel"], _t(sd["fc2.weight"]))
-    _put(v["params"], ["fc2", "bias"], sd["fc2.bias"])
+    _put(v["params"], ["fc2", "kernel"], _linear_out_perm(sd["fc2.weight"],
+                                                          c=z_dim))
+    _put(v["params"], ["fc2", "bias"], _vec_perm(sd["fc2.bias"], c=z_dim))
     return v
 
 
 def ae_state_dict_from_variables(variables: dict, n_levels: int = 6,
-                                 n_res: int = 2) -> Dict[str, np.ndarray]:
+                                 n_res: int = 2, z_dim: int = 192
+                                 ) -> Dict[str, np.ndarray]:
     """flax ResNetAE variables -> reference-keyed state dict
     (inverse of ae_variables_from_state_dict; naming contracts
     main_utils.py:683-689)."""
@@ -435,10 +533,12 @@ def ae_state_dict_from_variables(variables: dict, n_levels: int = 6,
             bn("decoder", [f"skip{i}_bn"], f"decoder.multi_res_skip_list.{i}.1")
     conv("decoder", ["output_conv"], "decoder.output_conv")
 
-    sd["fc1.weight"] = _t(np.asarray(p["fc1"]["kernel"]))
+    sd["fc1.weight"] = _linear_in_perm_back(np.asarray(p["fc1"]["kernel"]),
+                                            c=z_dim)
     sd["fc1.bias"] = np.asarray(p["fc1"]["bias"])
-    sd["fc2.weight"] = _t(np.asarray(p["fc2"]["kernel"]))
-    sd["fc2.bias"] = np.asarray(p["fc2"]["bias"])
+    sd["fc2.weight"] = _linear_out_perm_back(np.asarray(p["fc2"]["kernel"]),
+                                             c=z_dim)
+    sd["fc2.bias"] = _vec_perm_back(np.asarray(p["fc2"]["bias"]), c=z_dim)
     return sd
 
 

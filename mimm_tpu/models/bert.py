@@ -152,8 +152,9 @@ class BertSelfAttention(nn.Module):
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         scores = scores + attn_bias
         if cfg.softmax_dtype == "float32":
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1) \
-                .astype(self.dtype)
+            probs = jax.nn.softmax(
+                scores.astype(jnp.promote_types(scores.dtype, jnp.float32)),
+                axis=-1).astype(self.dtype)
         else:
             scores = scores - jax.lax.stop_gradient(
                 jnp.max(scores, axis=-1, keepdims=True))
@@ -249,7 +250,7 @@ class TextBert(nn.Module):
                  *, deterministic: bool = True):
         _, pooled = BertModel(self.config, dtype=self.dtype, name="bert")(
             input_ids, token_type_ids, attention_mask, deterministic=deterministic)
-        pooled = pooled.astype(jnp.float32)
+        pooled = pooled.astype(jnp.promote_types(pooled.dtype, jnp.float32))
         dropped = _dropout(self.config, self.config.hidden_dropout_prob)(
             pooled, deterministic=deterministic)
         logits = nn.Dense(self.config.num_classes,

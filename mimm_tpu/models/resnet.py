@@ -101,7 +101,10 @@ class ResNet256_6_2_1(nn.Module):
 
         # 2x2 average pooling (reference model.py:308,364)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        z = x.reshape((x.shape[0], -1)).astype(jnp.float32)  # (B, 768) at 256px
+        # (B, 768) at 256px; upcast bf16 -> f32 for the loss/critic (keeps
+        # f64 intact for the float64 reference-parity golden)
+        z = x.reshape((x.shape[0], -1)).astype(
+            jnp.promote_types(x.dtype, jnp.float32))
 
         y_logits = nn.Dense(self.output_channels, kernel_init=_torch_linear_init,
                             bias_init=nn.initializers.zeros, name="fc1")(z)

@@ -45,7 +45,8 @@ def dv_bound_loss(discriminator_logits: jax.Array, pos_size: int) -> jax.Array:
     logits = discriminator_logits.reshape(-1)
     pos_energy = jnp.mean(logits[:pos_size])
     neg = logits[pos_size:]
-    neg_energy = jax.nn.logsumexp(neg) - jnp.log(jnp.asarray(neg.shape[0], jnp.float32))
+    neg_energy = jax.nn.logsumexp(neg) - jnp.log(
+        jnp.asarray(neg.shape[0], jnp.result_type(float)))
     return neg_energy - pos_energy
 
 
@@ -86,7 +87,8 @@ def dv_bound_from_scores(scores: jax.Array, study_ids: jax.Array) -> jax.Array:
     mask = negative_pair_mask(study_ids)
     n_neg = jnp.sum(mask)
     pos_energy = jnp.mean(jnp.diagonal(scores))
-    neg_energy = _masked_logsumexp(scores, mask) - jnp.log(n_neg.astype(jnp.float32))
+    neg_energy = _masked_logsumexp(scores, mask) - jnp.log(
+        n_neg.astype(jnp.result_type(float)))
     return neg_energy - pos_energy
 
 
