@@ -138,6 +138,12 @@ def _add_fields(parser: argparse.ArgumentParser, cfg) -> None:
         if arg_type is bool:
             parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=getattr(cfg, f.name))
+        elif arg_type is tuple:
+            # comma-separated ints, e.g. --seq_buckets 64,128,192,320
+            parser.add_argument(
+                f"--{f.name}",
+                type=lambda s: tuple(int(x) for x in s.split(",") if x.strip()),
+                default=getattr(cfg, f.name))
         else:
             parser.add_argument(f"--{f.name}", type=arg_type, default=getattr(cfg, f.name))
 

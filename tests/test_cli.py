@@ -53,3 +53,9 @@ def test_config_replace_is_pure():
     a = TrainingConfig()
     b = a.replace(batch_size=8)
     assert a.batch_size == 64 and b.batch_size == 8
+
+
+def test_tuple_flags_parse_comma_separated():
+    cfg = construct_training_parameters(["--seq_buckets", "64,128,192,320"])
+    assert cfg.seq_buckets == (64, 128, 192, 320)
+    assert construct_training_parameters([]).seq_buckets == ()
