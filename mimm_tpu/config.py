@@ -112,7 +112,9 @@ class TrainingConfig:
     # Use the fused Pallas pairwise-critic kernel instead of the XLA path.
     use_pallas_critic: bool = True
     # Fused Pallas attention kernel (scores+softmax+dropout+context in
-    # VMEM) for the text tower.
+    # VMEM) for the text tower.  Applies only at sequence lengths >=
+    # BertConfig.flash_min_seq_len (256): below that the XLA einsum path
+    # measures faster on v5e (tools/bench_bert_variants.py).
     flash_attention: bool = True
     # Fine-tuning freeze options (reference model.py:83-89,490-495):
     # freeze_image_encoder trains only the ResNet's layer6 blocks + fc head;
@@ -120,11 +122,18 @@ class TrainingConfig:
     # Frozen params receive exactly zero updates (train/optim.py freeze()).
     freeze_image_encoder: bool = False
     freeze_text_encoder: bool = False
-    # Sequence-length buckets for the paired loader (e.g. (64,128,192,320));
+    # Sequence-length buckets for the paired loader (e.g. (64,96,128,192,320));
     # empty = reference behavior (every report padded to max_seq_length).
     # Real MIMIC reports average ~85 tokens, so bucketing cuts text-tower
     # work ~2.7x with identical attention-masked semantics.
     seq_buckets: tuple = ()
+    # Chain this many same-shape train steps into ONE device dispatch via
+    # lax.scan (train/mi.py make_mi_multi_step). Amortizes per-dispatch
+    # overhead (~3-4 ms through the TPU tunnel). 1 = one dispatch per step.
+    # Under bucketing, same-bucket batches are grouped into scan chunks,
+    # which reorders batches WITHIN an epoch (equivalent to a different
+    # shuffle; every batch is still consumed exactly once).
+    scan_steps: int = 1
 
     def replace(self, **kw) -> "TrainingConfig":
         return dataclasses.replace(self, **kw)

@@ -344,17 +344,49 @@ def _stack(samples: List[Dict[str, np.ndarray]],
     return out
 
 
+def scan_chunks(batches: Iterator[Dict[str, np.ndarray]],
+                k: int) -> Iterator[Dict[str, np.ndarray]]:
+    """Group a batch stream into stacked super-batches of ``k`` same-shape
+    batches (leading axis k) for ``lax.scan`` multi-step dispatch
+    (train/mi.py make_mi_multi_step).
+
+    Batches are grouped by text sequence length, so under bucketing each
+    chunk is homogeneous; grouping reorders batches within the epoch
+    (equivalent to a different shuffle — every batch is still consumed
+    exactly once).  Per-group leftovers at stream end are yielded as
+    plain single batches (callers distinguish by ``image.ndim``: 5 for a
+    stacked chunk, 4 for a single batch).
+    """
+    if k <= 1:
+        yield from batches
+        return
+    pending: Dict[int, List[Dict[str, np.ndarray]]] = {}
+    for b in batches:
+        key = b["txt_ids"].shape[1] if "txt_ids" in b else 0
+        group = pending.setdefault(key, [])
+        group.append(b)
+        if len(group) == k:
+            yield {kk: np.stack([g[kk] for g in group]) for kk in group[0]}
+            pending[key] = []
+    for group in pending.values():
+        yield from group
+
+
 def device_prefetch(batches: Iterator[Dict], size: int = 2,
                     sharding=None) -> Iterator:
     """Move batches to device ahead of consumption (double buffering).
-    With ``sharding`` (a NamedSharding), batches land pre-sharded across
-    the mesh so the train step does no layout changes."""
+    With ``sharding`` (a NamedSharding, or a callable batch -> sharding
+    for streams mixing stacked scan chunks with single batches), batches
+    land pre-sharded across the mesh so the train step does no layout
+    changes."""
     import collections
     import jax
 
     buf = collections.deque()
 
     def put(b):
+        if callable(sharding) and not isinstance(sharding, jax.sharding.Sharding):
+            return jax.device_put(b, sharding(b))
         if sharding is not None:
             return jax.device_put(b, sharding)
         return jax.device_put(b)

@@ -72,6 +72,13 @@ class BertConfig:
     # dropout/context in one kernel, probs+masks never reach HBM; f32
     # softmax inside, dropout drawn from the on-core PRNG.
     flash_attention: bool = False
+    # Only use the Pallas kernel at/above this sequence length.  Measured
+    # on v5e (B=64, fwd+bwd+opt): the XLA einsum path wins below ~256
+    # (L=128: 42.6 vs 55.2 ms; L=192: 81.6 vs 83.0) because the kernel's
+    # (batch, head) grid of tiny (L, 64) blocks underutilizes the MXU,
+    # while at L=320 the kernel's avoided (B, H, L, L) f32 prob/mask HBM
+    # roundtrips dominate (132.8 vs 166.7 ms) — tools/bench_bert_variants.py.
+    flash_min_seq_len: int = 256
 
     @classmethod
     def from_json_file(cls, path: str, **overrides) -> "BertConfig":
@@ -136,7 +143,8 @@ class BertSelfAttention(nn.Module):
         v = v.reshape(b, -1, nh, hd)
 
         seq_len = q.shape[1]
-        if cfg.flash_attention and seq_len % 8 == 0 and hd % 8 == 0:
+        if cfg.flash_attention and seq_len >= cfg.flash_min_seq_len \
+                and seq_len % 8 == 0 and hd % 8 == 0:
             from mimm_tpu.ops.flash_attention import flash_attention
             rate = cfg.attention_probs_dropout_prob if not deterministic else 0.0
             if rate > 0.0:

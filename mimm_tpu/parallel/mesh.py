@@ -42,6 +42,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a (K, B, ...) scan super-batch: the scan axis K is
+    replicated (it is consumed sequentially by lax.scan), the batch dim
+    is sharded over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

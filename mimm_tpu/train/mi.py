@@ -292,7 +292,7 @@ class MultiModalManager:
         the full three-optimizer state + step and continues from the next
         epoch (capability absent in the reference, SURVEY.md §5)."""
         from mimm_tpu.data.pipeline import (CXRImageReportDataset, Loader,
-                                            device_prefetch)
+                                            device_prefetch, scan_chunks)
 
         cfg = self.cfg
         os.makedirs(cfg.save_directory, exist_ok=True)
@@ -331,6 +331,14 @@ class MultiModalManager:
             int(dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1))
         train_step = make_mi_train_step(self.model, txs, cfg,
                                         data_shards=data_shards)
+        scan_steps = max(1, int(getattr(cfg, "scan_steps", 1)))
+        multi_step = make_mi_multi_step(self.model, txs, cfg,
+                                        data_shards=data_shards) \
+            if scan_steps > 1 else None
+
+        def batch_shard(b):
+            return (mesh_lib.stacked_batch_sharding(mesh)
+                    if b["image"].ndim == 5 else mesh_lib.batch_sharding(mesh))
 
         training_loss = []
         for epoch in range(start_epoch, num_epochs):
@@ -340,11 +348,19 @@ class MultiModalManager:
             # round trip (~25-40 ms through the axon tunnel) that serializes
             # the otherwise fully pipelined dispatch chain.
             step_losses = []
-            for batch in device_prefetch(loader.epoch(epoch), size=cfg.prefetch,
-                                         sharding=mesh_lib.batch_sharding(mesh)):
-                state, loss = train_step(state, batch)
-                step_losses.append(loss)
-            epoch_loss = float(np.sum(jax.device_get(step_losses))) \
+            stream = loader.epoch(epoch)
+            if scan_steps > 1:
+                stream = scan_chunks(stream, scan_steps)
+            for batch in device_prefetch(stream, size=cfg.prefetch,
+                                         sharding=batch_shard):
+                if batch["image"].ndim == 5:  # stacked scan chunk
+                    state, losses = multi_step(state, batch)
+                    step_losses.append(losses)
+                else:
+                    state, loss = train_step(state, batch)
+                    step_losses.append(loss)
+            epoch_loss = float(sum(np.sum(x) for x in
+                                   jax.device_get(step_losses))) \
                 if step_losses else 0.0
             training_loss.append(epoch_loss)
 

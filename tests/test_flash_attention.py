@@ -84,7 +84,8 @@ def test_bert_with_flash_attention_matches_einsum_path():
     variables = m_ref.init(jax.random.PRNGKey(1), ids, attention_mask=mask)
     _, pooled_ref = m_ref.apply(variables, ids, attention_mask=mask)
 
-    m_fa = BertModel(BertConfig(**cfg_base, flash_attention=True))
+    m_fa = BertModel(BertConfig(**cfg_base, flash_attention=True,
+                                flash_min_seq_len=0))
     _, pooled_fa = m_fa.apply(variables, ids, attention_mask=mask)
     np.testing.assert_allclose(np.asarray(pooled_fa), np.asarray(pooled_ref),
                                rtol=1e-4, atol=1e-5)

@@ -116,6 +116,65 @@ def test_local_negatives_block_mode():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_shard_map_all_gather_negatives_production_shapes():
+    """The EXPLICIT collective path (objectives/pairing.py
+    mi_loss_from_embeddings with axis_name): under shard_map over the full
+    8-device 'data' mesh, each shard all-gathers embeddings/study-ids so
+    negatives span the global batch — loss and critic grads must equal the
+    single-device computation on the gathered arrays.  Run at production
+    widths (768-d embeddings, 1024/512 critic) with a global batch of 128."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from mimm_tpu.models.mlp import make_mlp
+    from mimm_tpu.objectives.pairing import mi_loss_from_embeddings
+
+    mesh = mesh_lib.make_mesh({"data": 8})
+    B_global, D = 128, 768
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    critic = make_mlp(k1, 2 * D, [1024, 512])
+    ei = jax.random.normal(k2, (B_global, D), jnp.float32)
+    et = jax.random.normal(k3, (B_global, D), jnp.float32)
+    # include duplicate study ids ACROSS shards: the mask must exclude the
+    # (i, j) negative where sid_i == sid_j even when i, j live on
+    # different devices
+    sids = jnp.asarray(np.arange(B_global, dtype=np.int64) % 100)
+
+    def loss_fn(c, a, b, s):
+        return mi_loss_from_embeddings(c, a, b, s, estimator="dv",
+                                       axis_name="data")
+
+    sharded = jax.jit(
+        jax.shard_map(
+            partial(jax.value_and_grad(loss_fn), critic),
+            mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+            out_specs=(P(), P()), check_vma=False),
+    )
+    loss_sh, grads_sh = sharded(ei, et, sids)
+
+    want_loss, want_grads = jax.value_and_grad(
+        lambda c: mi_loss_from_embeddings(c, ei, et, sids, estimator="dv"))(critic)
+
+    np.testing.assert_allclose(float(loss_sh), float(want_loss),
+                               rtol=1e-5, atol=1e-6)
+    for got_l, want_l in zip(grads_sh, want_grads):
+        for k in ("w", "b"):
+            np.testing.assert_allclose(np.asarray(got_l[k]),
+                                       np.asarray(want_l[k]),
+                                       rtol=5e-4, atol=1e-5)
+
+
+def test_shard_batch_rejects_indivisible_batch():
+    """A batch not divisible by the 'data' axis must fail loudly at
+    device_put time (the Manager never produces one: drop_last is on and
+    each bucket drops its own remainder), not silently mis-shard."""
+    mesh = mesh_lib.make_mesh({"data": 8})
+    batch = _make_batch(12, 32, 16)  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="divisible|not divisible|shard"):
+        mesh_lib.shard_batch(mesh, batch)
+
+
 def test_create_mi_state_derives_critic_width_from_model():
     """No hidden 256px assumption: at img_size=128 the ResNet embedding is
     192-d and the critic input adapts."""

@@ -247,3 +247,52 @@ def test_multi_step_scan_matches_sequential(cfg):
     _, l3_scan = step(s_scan, b1)
     np.testing.assert_allclose(float(l3_scan), float(l3_seq), rtol=5e-4,
                                atol=5e-5)
+
+
+def test_manager_scan_steps_trains_all_batches(cfg):
+    """Manager with cfg.scan_steps>1 dispatches scan chunks + leftover
+    singles and still consumes every batch exactly once."""
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import MultiModalManager
+
+    # 12 samples / batch 4 = 3 batches per epoch: one K=2 chunk + 1 single
+    cfg = cfg.replace(img_size=256, max_seq_length=16, num_train_epochs=1,
+                      scan_steps=2)
+    tiny_bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=32, num_classes=1)
+    ds = FakePairedDataset(n=12, img=256, seq=16)
+    mgr = MultiModalManager(cfg, bert_config=tiny_bert,
+                            load_pretrained_bert=False)
+    state = mgr.train(token_features=None, dataset=ds, num_epochs=1,
+                      mesh=small_mesh(), export_torch_bins=False)
+    assert int(state.step) == 3
+
+    # epoch loss recorded from mixed scan/single losses is finite
+    import json
+    recs = [json.loads(l) for l in
+            open(os.path.join(cfg.save_directory, "mi.jsonl"))]
+    losses = [r["epoch_loss"] for r in recs if "epoch_loss" in r]
+    assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_scan_chunks_groups_by_bucket():
+    from mimm_tpu.data.pipeline import scan_chunks
+
+    def mk(seq, tag):
+        return {"txt_ids": np.full((4, seq), tag, np.int32),
+                "image": np.zeros((4, 8, 8, 1), np.float32)}
+
+    stream = [mk(16, 0), mk(32, 1), mk(16, 2), mk(32, 3), mk(16, 4)]
+    out = list(scan_chunks(iter(stream), 2))
+    stacked = [o for o in out if o["image"].ndim == 5]
+    singles = [o for o in out if o["image"].ndim == 4]
+    assert len(stacked) == 2 and len(singles) == 1
+    # chunks are homogeneous in seq len and preserve arrival order
+    assert stacked[0]["txt_ids"].shape == (2, 4, 16)
+    assert list(np.unique(stacked[0]["txt_ids"])) == [0, 2]
+    assert stacked[1]["txt_ids"].shape == (2, 4, 32)
+    assert list(np.unique(stacked[1]["txt_ids"])) == [1, 3]
+    assert singles[0]["txt_ids"].shape == (4, 16)
+    # k=1 passes through untouched
+    assert list(scan_chunks(iter(stream), 1)) == stream

@@ -1,0 +1,174 @@
+"""BERT step-time experiments: where do the missing TFLOPS go?
+
+Times the text-tower train step (fwd+bwd+AdamW) at L=128, B=64 under
+config variants — dropout off, flash off, fused_qkv off, optimizer off —
+plus a pure-GEMM chain with the same total matmul FLOPs as the encoder,
+to separate matmul ceiling, elementwise overhead, dropout, and optimizer
+cost.  Methodology matches bench.py (chained dispatch, one final read).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 64
+L = 128
+WARMUP = 2
+STEPS = 20
+
+
+def _timed(step, state, batch):
+    for _ in range(WARMUP):
+        state, loss = step(state, batch)
+        float(loss)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = step(state, batch)
+    final = float(loss)
+    dt = (time.perf_counter() - t0) / STEPS
+    assert np.isfinite(final)
+    return dt
+
+
+def main():
+    import jax
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    import jax.numpy as jnp
+    import optax
+
+    from mimm_tpu.models.bert import BertConfig, TextBert
+    from mimm_tpu.train.optim import adamw_hf, bert_decay_mask
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 30522, (BATCH, L)).astype(np.int32))
+    out = {}
+
+    def bert_step_time(tag, with_opt=True, deterministic=False, **cfg_kw):
+        cfg_kw.setdefault("flash_attention", on_tpu)
+        cfg = BertConfig(num_classes=1, **cfg_kw)
+        model = TextBert(cfg, dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(1), ids)["params"]
+        tx = adamw_hf(2e-5, eps=1e-6, weight_decay=0.1, correct_bias=False,
+                      mask=bert_decay_mask)
+
+        def loss_fn(p, key):
+            emb, _ = model.apply(
+                {"params": p}, ids, attention_mask=jnp.ones_like(ids),
+                token_type_ids=jnp.zeros_like(ids),
+                deterministic=deterministic,
+                rngs={} if deterministic else {"dropout": key})
+            return jnp.mean(jnp.square(emb))
+
+        if with_opt:
+            @jax.jit
+            def step(state, _):
+                p, opt, key = state
+                key, sub = jax.random.split(key)
+                loss, g = jax.value_and_grad(loss_fn)(p, sub)
+                up, opt = tx.update(g, opt, p)
+                return (optax.apply_updates(p, up), opt, key), loss
+            state = (params, tx.init(params), jax.random.PRNGKey(2))
+        else:
+            @jax.jit
+            def step(state, _):
+                p, key, acc = state
+                key, sub = jax.random.split(key)
+                loss, g = jax.value_and_grad(loss_fn)(p, sub)
+                # consume grads so nothing is DCE'd; keep params unchanged
+                acc = acc + jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x.astype(jnp.float32) ** 2), g, 0.0)
+                return (p, key, acc), loss + 0.0 * acc
+            state = (params, jax.random.PRNGKey(2), jnp.float32(0.0))
+
+        out[tag] = round(_timed(step, state, None) * 1e3, 2)
+
+    mode = os.environ.get("BERT_VARIANTS", "l128")
+    if mode == "buckets":
+        # einsum-attention step time at every bucket length, + flash at 96
+        # (flash numbers for 64/128/192/320 come from bench_breakdown.py)
+        for L_ in (64, 96, 128, 192, 320):
+            globals()["L"] = L_  # noqa — reuse the closure ids below
+            ids_ = jnp.asarray(rng.integers(0, 30522,
+                                            (BATCH, L_)).astype(np.int32))
+            for flash in (False, True) if L_ == 96 else (False,):
+                cfg = BertConfig(num_classes=1, flash_attention=flash)
+                model = TextBert(cfg, dtype=jnp.bfloat16)
+                params = model.init(jax.random.PRNGKey(1), ids_)["params"]
+                tx = adamw_hf(2e-5, eps=1e-6, weight_decay=0.1,
+                              correct_bias=False, mask=bert_decay_mask)
+
+                def loss_fn(p, key):
+                    emb, _ = model.apply(
+                        {"params": p}, ids_,
+                        attention_mask=jnp.ones_like(ids_),
+                        token_type_ids=jnp.zeros_like(ids_),
+                        deterministic=False, rngs={"dropout": key})
+                    return jnp.mean(jnp.square(emb))
+
+                @jax.jit
+                def step(state, _):
+                    p, opt, key = state
+                    key, sub = jax.random.split(key)
+                    loss, g = jax.value_and_grad(loss_fn)(p, sub)
+                    up, opt = tx.update(g, opt, p)
+                    return (optax.apply_updates(p, up), opt, key), loss
+
+                state = (params, tx.init(params), jax.random.PRNGKey(2))
+                tag = f"L{L_}_{'flash' if flash else 'einsum'}"
+                out[tag] = round(_timed(step, state, None) * 1e3, 2)
+                print(json.dumps(out), flush=True)
+        return
+
+    bert_step_time("base")
+    print(json.dumps(out), flush=True)
+    bert_step_time("no_dropout", deterministic=True)
+    print(json.dumps(out), flush=True)
+    bert_step_time("no_optimizer", with_opt=False)
+    print(json.dumps(out), flush=True)
+    bert_step_time("no_flash", flash_attention=False)
+    print(json.dumps(out), flush=True)
+    bert_step_time("no_fused_qkv", fused_qkv=False)
+    print(json.dumps(out), flush=True)
+
+    # pure-GEMM ceiling: same matmul FLOP count as the 12-layer encoder
+    # fwd (QKV+out: 4 units of (BL,768)@(768,768); FFN: 2 units of
+    # (BL,768)@(768,3072)+(BL,3072)@(3072,768)) driven through fwd+bwd.
+    M = BATCH * L
+    w1 = jnp.asarray(rng.standard_normal((768, 768)).astype(np.float32) * 0.02,
+                     jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((768, 3072)).astype(np.float32) * 0.02,
+                     jnp.bfloat16)
+    w3 = jnp.asarray(rng.standard_normal((3072, 768)).astype(np.float32) * 0.02,
+                     jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((M, 768)).astype(np.float32),
+                     jnp.bfloat16)
+
+    def chain(x, w1, w2, w3):
+        for _ in range(12):
+            for _ in range(4):
+                x = x @ w1
+            x = (x @ w2) @ w3
+        return jnp.mean(jnp.square(x.astype(jnp.float32)))
+
+    @jax.jit
+    def gemm_step(carry, _):
+        x, acc = carry
+        loss, grads = jax.value_and_grad(chain, argnums=(1, 2, 3))(x, w1, w2, w3)
+        acc = acc + grads[0][0, 0].astype(jnp.float32)
+        return (x, acc), loss + 0.0 * acc
+
+    dt = _timed(gemm_step, (x0, jnp.float32(0.0)), None)
+    fl = 12 * (4 * 2 * M * 768 * 768 + 2 * 2 * M * 768 * 3072) * 3  # fwd+bwd
+    out["gemm_chain_ms"] = round(dt * 1e3, 2)
+    out["gemm_chain_tflops"] = round(fl / dt / 1e12, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

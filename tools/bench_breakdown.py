@@ -13,9 +13,13 @@ step; BERT ~50% MFU).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 64
 BUCKETS = (64, 128, 192, 320)
