@@ -122,6 +122,11 @@ class TrainingConfig:
     # Frozen params receive exactly zero updates (train/optim.py freeze()).
     freeze_image_encoder: bool = False
     freeze_text_encoder: bool = False
+    # Space-to-depth compute schedule for the ResNet stem: the thin
+    # 1->8ch/8->8ch stem convs run on a 2x2-block layout with kernels
+    # derived from the canonical params in-flight — same function, same
+    # parameter tree/checkpoints (models/resnet.py).  Perf knob only.
+    s2d_stem: bool = False
     # Sequence-length buckets for the paired loader (e.g. (64,96,128,192,320));
     # empty = reference behavior (every report padded to max_seq_length).
     # Real MIMIC reports average ~85 tokens, so bucketing cuts text-tower

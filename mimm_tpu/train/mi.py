@@ -87,7 +87,8 @@ def build_joint_model(cfg, bert_config: Optional[BertConfig] = None
                       ) -> ImageReportModel:
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return ImageReportModel(bert_config=bert_config or load_bert_config(cfg),
-                            output_channels=cfg.output_channels, dtype=dtype)
+                            output_channels=cfg.output_channels, dtype=dtype,
+                            s2d_stem=getattr(cfg, "s2d_stem", False))
 
 
 def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
