@@ -68,7 +68,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = TrainingConfig().replace(
         batch_size=BATCH, compute_dtype="bfloat16", mi_estimator="dv",
-        use_pallas_critic=on_tpu, scan_steps=SCAN_STEPS,
+        use_pallas_critic=on_tpu, pallas_stem=on_tpu, scan_steps=SCAN_STEPS,
         seq_buckets=tuple(BUCKET_MIX))
     bert_cfg = BertConfig(num_classes=cfg.output_channels,
                           flash_attention=on_tpu)

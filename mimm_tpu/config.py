@@ -127,6 +127,10 @@ class TrainingConfig:
     # derived from the canonical params in-flight — same function, same
     # parameter tree/checkpoints (models/resnet.py).  Perf knob only.
     s2d_stem: bool = False
+    # Pallas 9-shift kernel for the stem's shallow 1->8ch conv (XLA's
+    # emitter is ~16x off the bandwidth bound there; ops/shallow_conv.py).
+    # Same canonical conv1 parameter; f32 accumulation.  Enable on TPU.
+    pallas_stem: bool = False
     # Sequence-length buckets for the paired loader (e.g. (64,96,128,192,320));
     # empty = reference behavior (every report padded to max_seq_length).
     # Real MIMIC reports average ~85 tokens, so bucketing cuts text-tower

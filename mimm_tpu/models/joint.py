@@ -27,14 +27,16 @@ class ImageReportModel(nn.Module):
     bert_config: BertConfig
     output_channels: int = 1
     dtype: Any = jnp.float32
-    # s2d compute schedule for the image stem (same function/params;
-    # models/resnet.py) — a perf knob, safe to toggle between runs.
+    # stem compute-schedule knobs (same function/params; models/resnet.py)
+    # — safe to toggle between runs.
     s2d_stem: bool = False
+    pallas_stem: bool = False
 
     def setup(self):
         self.image_model = ResNet256_6_2_1(output_channels=self.output_channels,
                                            dtype=self.dtype,
-                                           s2d_stem=self.s2d_stem)
+                                           s2d_stem=self.s2d_stem,
+                                           pallas_stem=self.pallas_stem)
         self.text_model = TextBert(self.bert_config, dtype=self.dtype)
 
     def __call__(self, img, txt_ids, txt_masks=None, txt_segments=None,

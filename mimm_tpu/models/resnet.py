@@ -231,15 +231,30 @@ class ResNet256_6_2_1(nn.Module):
     # entry convs) — exactly the same function and parameter tree, kernels
     # derived from the canonical params in-flight (see module comment).
     s2d_stem: bool = False
+    # Pallas shallow-conv kernel for conv1 (ops/shallow_conv.py): XLA's
+    # 1->8ch 3x3 conv emitter measured ~16x off the bandwidth bound; the
+    # 9-shift VPU kernel (f32 accumulation, same canonical parameter) wins
+    # ~1 ms/step at B=64 on v5e.  Enable on TPU (interpret mode elsewhere).
+    pallas_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jax.Array, ...]:
         """x: (B, H, W, 1) NHWC. Returns (y, z, y_sigmoid, z_local, y_logits)."""
         x = x.astype(self.dtype)
         s2d = self.s2d_stem
+        if s2d and self.pallas_stem:
+            raise ValueError("s2d_stem and pallas_stem are exclusive")
         if s2d and self.bn_axis_name is not None:
             raise NotImplementedError("s2d_stem does not support sync-BN")
-        if s2d:
+        if self.pallas_stem:
+            from mimm_tpu.ops.shallow_conv import shallow_conv3x3
+            k1 = _ConvKernel((3, 3, 1, 8), name="conv1")()
+            x = shallow_conv3x3(x, k1,
+                                out_dtype=self.dtype).transpose(0, 2, 3, 1)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.bn_axis_name, name="bn1")(x)
+        elif s2d:
             k1 = _ConvKernel((3, 3, 1, 8), name="conv1")()
             x = jax.lax.conv_general_dilated(
                 _space_to_depth2(x), _conv1_kernel_s2d(k1).astype(self.dtype),
@@ -290,11 +305,13 @@ class ResNet256_6_2_1(nn.Module):
 
 def build_resnet_model(model_name: str = "resnet256_6_2_1", output_channels: int = 1,
                        dtype: Any = jnp.float32, bn_axis_name: Optional[str] = None,
-                       s2d_stem: bool = False) -> ResNet256_6_2_1:
+                       s2d_stem: bool = False,
+                       pallas_stem: bool = False) -> ResNet256_6_2_1:
     """Factory matching reference build_resnet_model (model.py:514-526).
     Checkpoint loading lives in mimm_tpu.checkpoint (incl. reference-.bin
     import with joint-prefix stripping)."""
     if model_name != "resnet256_6_2_1":
         raise ValueError(f"unknown image model: {model_name}")
     return ResNet256_6_2_1(output_channels=output_channels, dtype=dtype,
-                           bn_axis_name=bn_axis_name, s2d_stem=s2d_stem)
+                           bn_axis_name=bn_axis_name, s2d_stem=s2d_stem,
+                           pallas_stem=pallas_stem)

@@ -88,7 +88,8 @@ def build_joint_model(cfg, bert_config: Optional[BertConfig] = None
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return ImageReportModel(bert_config=bert_config or load_bert_config(cfg),
                             output_channels=cfg.output_channels, dtype=dtype,
-                            s2d_stem=getattr(cfg, "s2d_stem", False))
+                            s2d_stem=getattr(cfg, "s2d_stem", False),
+                            pallas_stem=getattr(cfg, "pallas_stem", False))
 
 
 def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
