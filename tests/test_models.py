@@ -153,3 +153,23 @@ def test_patch_convs_match_flax_convs():
                                 padding="VALID").apply({"params": v["params"]}, z)
         np.testing.assert_allclose(np.asarray(pt.apply(v, z)), np.asarray(want),
                                    atol=2e-6)
+
+
+def test_gelu_tanh_flag_switches_activation():
+    """cfg.gelu_tanh swaps erf GELU for the tanh form (production perf
+    knob, bench.py); outputs differ slightly but stay within the
+    documented 1e-3-absolute envelope of the activation change."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ids = jnp.arange(8, dtype=jnp.int32)[None, :] % TINY_BERT.vocab_size
+    exact = TextBert(TINY_BERT)
+    tanh = TextBert(dataclasses.replace(TINY_BERT, gelu_tanh=True))
+    v = exact.init(jax.random.PRNGKey(0), ids)
+    p_e, _ = exact.apply(v, ids, deterministic=True)
+    p_t, _ = tanh.apply(v, ids, deterministic=True)
+    d = float(jnp.max(jnp.abs(p_e - p_t)))
+    assert 0.0 < d < 0.05  # different function, small deviation
