@@ -221,14 +221,18 @@ class ResNetAE(nn.Module):
 
     def encode(self, x, train: bool = False):
         h = self.encoder(x, train=train)
-        h = h.reshape((h.shape[0], -1)).astype(jnp.float32)
+        # upcast bf16 -> f32 for the bottleneck/loss (keeps f64 intact for
+        # the float64 reference-parity golden)
+        h = h.reshape((h.shape[0], -1)).astype(
+            jnp.promote_types(h.dtype, jnp.float32))
         return self.fc1(h)
 
     def decode(self, z, train: bool = False):
         lat = self.img_latent_dim
         h = self.fc2(z).reshape((-1, lat, lat, self.z_dim)).astype(self.dtype)
         h = self.decoder(h, train=train)
-        return jax.nn.sigmoid(h.astype(jnp.float32))
+        return jax.nn.sigmoid(h.astype(jnp.promote_types(h.dtype,
+                                                         jnp.float32)))
 
     def __call__(self, x, train: bool = False):
         return self.decode(self.encode(x, train=train), train=train)

@@ -275,7 +275,161 @@ def main(work_dir):
              losses=np.asarray(losses, np.float64))
 
 
+
+
+# ---------------------------------------------------------------------------
+# ResNetAE replica (reference autoencoder_model.py:16-215) — same module /
+# state-dict key layout (encoder.input_conv.0, res_blk_list.i.b.residual_block.k,
+# conv_list.i.0, multi_res_skip_list.i.0, output_conv, fc1/fc2) so the repo's
+# ae_*_state_dict converters drive the weight exchange.
+# ---------------------------------------------------------------------------
+
+
+class AEResidualBlock(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.residual_block = nn.Sequential(
+            nn.Conv2d(ch, ch, 3, 1, padding=1), nn.BatchNorm2d(ch),
+            nn.LeakyReLU(0.2, inplace=True),
+            nn.Conv2d(ch, ch, 3, 1, padding=1), nn.BatchNorm2d(ch),
+            nn.LeakyReLU(0.2, inplace=True))
+
+    def forward(self, x):
+        return x + self.residual_block(x)
+
+
+def _conv_bn_lrelu(cin, cout, k, s, pad=0, transpose=False):
+    conv_cls = nn.ConvTranspose2d if transpose else nn.Conv2d
+    return nn.Sequential(conv_cls(cin, cout, k, s, padding=pad),
+                         nn.BatchNorm2d(cout),
+                         nn.LeakyReLU(0.2, inplace=True))
+
+
+class TorchAEEncoder(nn.Module):
+    def __init__(self, n_res, n_levels, input_ch, z_dim):
+        super().__init__()
+        self.n_levels = n_levels
+        max_f = 2 ** (n_levels + 3)
+        self.input_conv = _conv_bn_lrelu(input_ch, 8, 3, 1, pad=1)
+        self.res_blk_list = nn.ModuleList()
+        self.conv_list = nn.ModuleList()
+        self.multi_res_skip_list = nn.ModuleList()
+        for i in range(n_levels):
+            f1, f2 = 2 ** (i + 3), 2 ** (i + 4)
+            ks = 2 ** (n_levels - i)
+            self.res_blk_list.append(nn.Sequential(
+                *[AEResidualBlock(f1) for _ in range(n_res)]))
+            self.conv_list.append(_conv_bn_lrelu(f1, f2, 2, 2))
+            self.multi_res_skip_list.append(_conv_bn_lrelu(f1, max_f, ks, ks))
+        self.output_conv = nn.Conv2d(max_f, z_dim, 3, 1, padding=1)
+
+    def forward(self, x):
+        x = self.input_conv(x)
+        skips = []
+        for i in range(self.n_levels):
+            x = self.res_blk_list[i](x)
+            skips.append(self.multi_res_skip_list[i](x))
+            x = self.conv_list[i](x)
+        return self.output_conv(sum([x] + skips))
+
+
+class TorchAEDecoder(nn.Module):
+    def __init__(self, n_res, n_levels, output_ch, z_dim):
+        super().__init__()
+        self.n_levels = n_levels
+        max_f = 2 ** (n_levels + 3)
+        self.input_conv = _conv_bn_lrelu(z_dim, max_f, 3, 1, pad=1)
+        self.res_blk_list = nn.ModuleList()
+        self.conv_list = nn.ModuleList()
+        self.multi_res_skip_list = nn.ModuleList()
+        for i in range(n_levels):
+            f0, f1 = 2 ** (n_levels - i + 3), 2 ** (n_levels - i + 2)
+            self.conv_list.append(_conv_bn_lrelu(f0, f1, 2, 2, transpose=True))
+            self.res_blk_list.append(nn.Sequential(
+                *[AEResidualBlock(f1) for _ in range(n_res)]))
+            self.multi_res_skip_list.append(
+                _conv_bn_lrelu(max_f, f1, 2 ** (i + 1), 2 ** (i + 1),
+                               transpose=True))
+        self.output_conv = nn.Conv2d(f1, output_ch, 3, 1, padding=1)
+
+    def forward(self, z):
+        z = z_top = self.input_conv(z)
+        for i in range(self.n_levels):
+            z = self.conv_list[i](z)
+            z = self.res_blk_list[i](z)
+            z = z + self.multi_res_skip_list[i](z_top)
+        return self.output_conv(z)
+
+
+class TorchResNetAE(nn.Module):
+    def __init__(self, input_shape=(256, 256, 1), n_res=2, n_levels=6,
+                 z_dim=192, bottleneck_dim=768):
+        super().__init__()
+        self.z_dim = z_dim
+        self.lat = input_shape[0] // (2 ** n_levels)
+        self.encoder = TorchAEEncoder(n_res, n_levels, input_shape[2], z_dim)
+        self.decoder = TorchAEDecoder(n_res, n_levels, input_shape[2], z_dim)
+        flat = z_dim * self.lat * self.lat
+        self.fc1 = nn.Linear(flat, bottleneck_dim)
+        self.fc2 = nn.Linear(bottleneck_dim, flat)
+
+    def encode(self, x):
+        h = self.encoder(x)
+        return self.fc1(h.reshape(-1, self.z_dim * self.lat * self.lat))
+
+    def decode(self, z):
+        h = self.fc2(z).reshape(-1, self.z_dim, self.lat, self.lat)
+        return torch.sigmoid(self.decoder(h))
+
+    def forward(self, x):
+        return self.decode(self.encode(x))
+
+
+def ae_main(work_dir):
+    """Subprocess oracle for the AE training step (reference
+    main_utils.py:610-703: MSELoss + single Adam(init_lr), BN train mode)."""
+    import json
+    import os
+
+    import numpy as np
+
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    with open(os.path.join(work_dir, "config.json")) as f:
+        c = json.load(f)
+    model = TorchResNetAE(input_shape=tuple(c["input_shape"]),
+                          n_res=c["n_res"], n_levels=c["n_levels"],
+                          z_dim=c["z_dim"], bottleneck_dim=c["bottleneck_dim"])
+    sd = _load_sd(os.path.join(work_dir, "ae_sd.npz"))
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert not missing, missing
+    if c.get("dtype") == "float64":
+        model.double()
+    with np.load(os.path.join(work_dir, "batch.npz")) as z:
+        img = torch.tensor(z["image_nchw"].astype(
+            np.float64 if c.get("dtype") == "float64" else np.float32))
+
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=c["init_lr"])
+    crit = nn.MSELoss()
+    losses = []
+    for _ in range(c["steps"]):
+        out = model(img)
+        loss = crit(out, img)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    np.savez(os.path.join(work_dir, "out.npz"),
+             losses=np.asarray(losses, np.float64))
+
+
 if __name__ == "__main__":
+    import json as _json
+    import os as _os
     import sys
 
-    main(sys.argv[1])
+    with open(_os.path.join(sys.argv[1], "config.json")) as _f:
+        _mode = _json.load(_f).get("mode", "mi")
+    (ae_main if _mode == "ae" else main)(sys.argv[1])
