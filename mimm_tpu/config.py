@@ -132,6 +132,11 @@ class TrainingConfig:
     # reference's erf GELU by <= 1e-3 absolute (below bfloat16 working
     # precision for most inputs).  Parity/golden paths keep exact erf.
     gelu_tanh: bool = False
+    # Fused FFN Pallas kernel in the text tower (models/bert.py
+    # BertConfig.fused_ffn): GEMM->GELU->GEMM with weights resident in
+    # VMEM; requires gelu_tanh.  Measured slower than the XLA FFN on
+    # v5e (ops/fused_ffn.py docstring) — experiment, off by default.
+    fused_ffn: bool = False
     # Pallas 9-shift kernel for the stem's shallow 1->8ch conv (XLA's
     # emitter is ~16x off the bandwidth bound there; ops/shallow_conv.py).
     # Same canonical conv1 parameter; f32 accumulation.  Enable on TPU.

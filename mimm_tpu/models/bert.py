@@ -87,6 +87,13 @@ class BertConfig:
     # paths (f32 goldens, reference-step oracle) keep the exact erf form
     # that pytorch_transformers BERT defines.
     gelu_tanh: bool = False
+    # fused FFN Pallas kernel (ops/fused_ffn.py): GEMM -> tanh-GELU ->
+    # GEMM with both weight matrices resident in VMEM.  Measured SLOWER
+    # than XLA's FFN on v5e at every bucket length (see the op's module
+    # docstring for the A/B table) — off by default, kept as a documented
+    # experiment.  Requires gelu_tanh (Mosaic has no erf primitive);
+    # checkpoint tree is unchanged.
+    fused_ffn: bool = False
 
     @classmethod
     def from_json_file(cls, path: str, **overrides) -> "BertConfig":
@@ -200,11 +207,24 @@ class BertLayer(nn.Module):
         attn_out = drop(attn_out, deterministic=deterministic)
         hidden = ln("attention_layernorm")(hidden + attn_out)
 
-        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
-                         name="intermediate")(hidden)
-        inter = nn.gelu(inter, approximate=cfg.gelu_tanh)
-        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
-                       name="output")(inter)
+        if cfg.fused_ffn and cfg.gelu_tanh:
+            from mimm_tpu.ops.fused_ffn import fused_ffn
+            # Same param tree as the two nn.Dense modules below; only the
+            # matmul binding changes (cf. the fused_qkv pattern above).
+            w1, b1 = _DenseParams(cfg.hidden_size, cfg.intermediate_size,
+                                  init, name="intermediate")()
+            w2, b2 = _DenseParams(cfg.intermediate_size, cfg.hidden_size,
+                                  init, name="output")()
+            flat = hidden.reshape(-1, cfg.hidden_size)
+            out = fused_ffn(flat, w1.astype(self.dtype), b1.astype(self.dtype),
+                            w2.astype(self.dtype), b2.astype(self.dtype))
+            out = out.reshape(hidden.shape)
+        else:
+            inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                             kernel_init=init, name="intermediate")(hidden)
+            inter = nn.gelu(inter, approximate=cfg.gelu_tanh)
+            out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                           name="output")(inter)
         out = drop(out, deterministic=deterministic)
         return ln("output_layernorm")(hidden + out)
 

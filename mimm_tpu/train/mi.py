@@ -77,7 +77,8 @@ def load_bert_config(cfg) -> BertConfig:
     path = os.path.join(cfg.bert_pretrained_dir, cfg.bert_config_name)
     overrides = dict(num_classes=cfg.output_channels,
                      flash_attention=getattr(cfg, "flash_attention", True),
-                     gelu_tanh=getattr(cfg, "gelu_tanh", False))
+                     gelu_tanh=getattr(cfg, "gelu_tanh", False),
+                     fused_ffn=getattr(cfg, "fused_ffn", False))
     if os.path.exists(path):
         return BertConfig.from_json_file(path, **overrides)
     logger.warning("No bert config at %s — using bert-base defaults", path)

@@ -89,6 +89,18 @@ def main():
         out[tag] = round(_timed(step, state, None) * 1e3, 2)
 
     mode = os.environ.get("BERT_VARIANTS", "l128")
+    if mode == "ffn":
+        # fused-FFN Pallas kernel A/B at the production bucket lengths
+        # (tanh-GELU baseline vs ops/fused_ffn.py), dropout on, AdamW on.
+        # Rebinding ``ids`` updates the closure bert_step_time reads.
+        for L_ in (64, 96, 128, 320):
+            ids = jnp.asarray(rng.integers(0, 30522,
+                                           (BATCH, L_)).astype(np.int32))
+            bert_step_time(f"L{L_}_tanh", gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+            bert_step_time(f"L{L_}_fused_ffn", gelu_tanh=True, fused_ffn=True)
+            print(json.dumps(out), flush=True)
+        return
     if mode == "buckets":
         # einsum-attention step time at every bucket length, + flash at 96
         # (flash numbers for 64/128/192/320 come from bench_breakdown.py)
