@@ -132,6 +132,13 @@ class TrainingConfig:
     # reference's erf GELU by <= 1e-3 absolute (below bfloat16 working
     # precision for most inputs).  Parity/golden paths keep exact erf.
     gelu_tanh: bool = False
+    # Storage dtype for the text-tower AdamW moment trees: 'float32'
+    # (reference parity) or 'bfloat16' (production knob — the AdamW
+    # update is HBM-bandwidth-bound at ~3.7 ms/step for bert-base on
+    # v5e; bf16 moments halve the optimizer-state traffic and memory.
+    # bf16 keeps f32's exponent range, so only mantissa precision drops;
+    # the update math itself stays f32).  train/optim.py adamw_hf.
+    adamw_moment_dtype: str = "float32"
     # Fused FFN Pallas kernel in the text tower (models/bert.py
     # BertConfig.fused_ffn): GEMM->GELU->GEMM with weights resident in
     # VMEM; requires gelu_tanh.  Measured slower than the XLA FFN on

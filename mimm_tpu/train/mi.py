@@ -100,8 +100,10 @@ def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
                                    warmup_steps=cfg.warmup_fraction * total,
                                    t_total=total)
     img = adam_torch(cfg.init_lr)
+    moment_dtype = jnp.bfloat16 \
+        if getattr(cfg, "adamw_moment_dtype", "float32") == "bfloat16" else None
     txt = adamw_hf(sched, eps=1e-6, weight_decay=0.1, correct_bias=False,
-                   mask=bert_decay_mask)
+                   mask=bert_decay_mask, moment_dtype=moment_dtype)
     # Reference fine-tuning freezes (model.py:83-89,490-495), optax-style:
     if getattr(cfg, "freeze_image_encoder", False):
         img = freeze(img, resnet_trainable_mask)

@@ -60,26 +60,41 @@ class _AdamWHFState(NamedTuple):
 
 def adamw_hf(learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
              weight_decay: float = 0.0, correct_bias: bool = False,
-             mask=None) -> optax.GradientTransformation:
+             mask=None, moment_dtype=None) -> optax.GradientTransformation:
     """pytorch_transformers 1.0.0 ``AdamW`` (reference main_utils.py:166-168).
 
     ``mask``: pytree-prefix (or callable params->bool pytree) selecting
     parameters that receive weight decay — the reference excludes any param
     whose name contains 'bias' or 'LayerNorm' (main_utils.py:158-165).
+
+    ``moment_dtype``: storage dtype for the two moment trees (None =
+    parameter dtype, the reference-parity default).  The update itself is
+    always computed in the gradient dtype (f32); only the persisted state
+    is rounded.  ``jnp.bfloat16`` halves the optimizer-state HBM traffic
+    — the AdamW update is bandwidth-bound (~3.7 ms/step for bert-base on
+    v5e, ~3.1 GB of moment/param traffic) — and halves optimizer memory.
+    bf16 keeps float32's 8-bit exponent, so there is no range issue for
+    ``nu``; only mantissa precision is reduced (production knob,
+    cfg.adamw_moment_dtype — parity/golden paths keep f32).
     """
 
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return _AdamWHFState(jnp.zeros([], jnp.int32), zeros,
-                             jax.tree.map(jnp.zeros_like, params))
+        def zeros(p):
+            return jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
+        return _AdamWHFState(jnp.zeros([], jnp.int32),
+                             jax.tree.map(zeros, params),
+                             jax.tree.map(zeros, params))
 
     def update(grads, state, params):
         if params is None:
             raise ValueError("adamw_hf requires params")
         count = state.count + 1
         lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        # compute in the grad dtype (f32); state may round on store below
+        mu = jax.tree.map(lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * g * g,
+                          state.nu, grads)
         if correct_bias:
             c = count.astype(jnp.result_type(float))
             step_size = lr * jnp.sqrt(1 - b2 ** c) / (1 - b1 ** c)
@@ -97,6 +112,9 @@ def adamw_hf(learning_rate, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-
             return s
 
         updates = jax.tree.map(upd, mu, nu, params, decay_mask)
+        if moment_dtype is not None:
+            mu = jax.tree.map(lambda m: m.astype(moment_dtype), mu)
+            nu = jax.tree.map(lambda v: v.astype(moment_dtype), nu)
         return updates, _AdamWHFState(count, mu, nu)
 
     return optax.GradientTransformation(init, update)

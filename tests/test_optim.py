@@ -101,6 +101,36 @@ def test_adamw_hf_matches_oracle():
     np.testing.assert_allclose(np.asarray(params["w"]), want, atol=1e-6, rtol=1e-5)
 
 
+def test_adamw_hf_bf16_moments_track_f32():
+    """bf16 moment storage (production knob): state is actually bf16 and
+    the parameter trajectory stays close to the f32-moment reference —
+    the update math itself remains f32, only the persisted moments round."""
+    rng = np.random.default_rng(3)
+    w0 = rng.normal(size=(16, 8)).astype(np.float32)
+    grads = lambda p: {"w": p["w"] + jnp.cos(p["w"])}
+
+    def run(moment_dtype):
+        tx = adamw_hf(1e-3, weight_decay=0.1, correct_bias=False,
+                      moment_dtype=moment_dtype)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for _ in range(25):
+            updates, state = tx.update(grads(params), state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, state
+
+    p32, _ = run(None)
+    p16, s16 = run(jnp.bfloat16)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    assert s16.nu["w"].dtype == jnp.bfloat16
+    assert p16["w"].dtype == jnp.float32  # params stay full precision
+    # 25 steps at lr=1e-3 move params by ~2.5e-2; bf16 moment rounding
+    # perturbs the path by well under 1% of that motion.
+    drift = np.abs(np.asarray(p16["w"]) - np.asarray(p32["w"])).max()
+    motion = np.abs(np.asarray(p32["w"]) - w0).max()
+    assert drift < 0.02 * motion, (drift, motion)
+
+
 def test_warmup_linear_values():
     s = warmup_linear_schedule(1.0, warmup_steps=10, t_total=110)
     assert float(s(0)) == 0.0                       # first step is lr 0

@@ -49,13 +49,14 @@ def main():
     ids = jnp.asarray(rng.integers(0, 30522, (BATCH, L)).astype(np.int32))
     out = {}
 
-    def bert_step_time(tag, with_opt=True, deterministic=False, **cfg_kw):
+    def bert_step_time(tag, with_opt=True, deterministic=False,
+                       moment_dtype=None, **cfg_kw):
         cfg_kw.setdefault("flash_attention", on_tpu)
         cfg = BertConfig(num_classes=1, **cfg_kw)
         model = TextBert(cfg, dtype=jnp.bfloat16)
         params = model.init(jax.random.PRNGKey(1), ids)["params"]
         tx = adamw_hf(2e-5, eps=1e-6, weight_decay=0.1, correct_bias=False,
-                      mask=bert_decay_mask)
+                      mask=bert_decay_mask, moment_dtype=moment_dtype)
 
         def loss_fn(p, key):
             emb, _ = model.apply(
@@ -99,6 +100,17 @@ def main():
             bert_step_time(f"L{L_}_tanh", gelu_tanh=True)
             print(json.dumps(out), flush=True)
             bert_step_time(f"L{L_}_fused_ffn", gelu_tanh=True, fused_ffn=True)
+            print(json.dumps(out), flush=True)
+        return
+    if mode == "moments":
+        # bf16 AdamW moment storage A/B (train/optim.py moment_dtype)
+        for L_ in (64, 128):
+            ids = jnp.asarray(rng.integers(0, 30522,
+                                           (BATCH, L_)).astype(np.int32))
+            bert_step_time(f"L{L_}_f32mom", gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+            bert_step_time(f"L{L_}_bf16mom", gelu_tanh=True,
+                           moment_dtype=jnp.bfloat16)
             print(json.dumps(out), flush=True)
         return
     if mode == "buckets":
