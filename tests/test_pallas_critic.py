@@ -76,6 +76,23 @@ def test_mi_loss_with_pallas_matches(setup):
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-5)
 
 
+def test_midscale_dispatches_to_xla():
+    """Above 128x128 pairs (and while the XLA intermediate fits) the
+    wrapper must return the XLA factorized path's result bit-for-bit —
+    the measured crossover has XLA faster there (tools/bench_critic.py:
+    B=512 XLA 6.8 ms vs kernel 16.3)."""
+    from mimm_tpu.ops.pairwise_critic import pairwise_critic_scores_pallas
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = make_mlp(k1, 2 * 8, [16, 8])
+    emb_img = jax.random.normal(k2, (160, 8))
+    emb_txt = jax.random.normal(k3, (160, 8))  # 25600 pairs > 16384
+    want = pairwise_critic_scores(params, emb_img, emb_txt)
+    got = pairwise_critic_scores_pallas(params, emb_img, emb_txt)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_tiled_path_matches_xla(monkeypatch):
     """Force the multi-tile branch (small MAX_BLOCK_*) so the cross-tile
     accumulators (dhi per i-row, shared weight grads zeroed only at grid
