@@ -109,7 +109,10 @@ class TrainingConfig:
     warmup_fraction: float = 0.1
     # Host pipeline prefetch depth (device_put double buffering).
     prefetch: int = 2
-    # Use the fused Pallas pairwise-critic kernel instead of the XLA path.
+    # Route pair scoring through ops/pairwise_critic.py, which picks the
+    # XLA factorized path while its (B, B, H1) intermediate fits (faster
+    # at every materializable batch — scan-chained timings, see the op's
+    # docstring) and the VMEM-resident Pallas kernel beyond.
     use_pallas_critic: bool = True
     # Fused Pallas attention kernel (scores+softmax+dropout+context in
     # VMEM) for the text tower.  Applies only at sequence lengths >=

@@ -37,17 +37,19 @@ pure-XLA path to float32 tolerance (tests/test_pallas_critic.py).
 On non-TPU backends the kernels run in Pallas interpret mode, so the same
 code path is unit-testable on the CPU mesh.
 
-Measured crossover (v5e, reference critic 1536->1024->512->1,
-tools/bench_critic.py, scores+DV fwd+bwd+Adam): at B=64 the chunked
-kernel wins (1.95 ms vs XLA 2.18; the original per-row kernel was
-2.34); at B=512 the XLA factorized path wins (6.8 vs 16.3 — the
-kernel's f32 pair GEMMs dominate at scale while XLA mixes precisions).
-The kernel's other advantage is memory-boundedness: the XLA
-intermediate grows as B^2 * H * 4 bytes (68 GB at B=4096) while the
-kernel stays O(B * H).  ``pairwise_critic_scores_pallas`` therefore
-dispatches on measured crossovers: Pallas for B*B <= 16384 pairs
-(single-chip production), XLA while its intermediate stays under ~8 GB,
-Pallas beyond.
+Measured truth (v5e, reference critic 1536->1024->512->1,
+tools/bench_critic.py, scores+DV fwd+bwd+Adam, SCAN-CHAINED dispatch —
+single-step dispatches of this ~0.3 ms sub-step are tunnel-latency
+measurements, not kernel measurements; early single-dispatch numbers
+that showed the kernel "winning" at B=64 were that artifact): XLA's
+factorized path is faster at every batch size where its (BI, BJ, H1)
+intermediate fits — 0.212 vs 0.327 ms/step at B=64, 5.63 vs 5.64 at
+B=512 (kernel routed to XLA).  The kernel's value is MEMORY scaling:
+the XLA intermediate grows as B^2 * H1 * 4 bytes (68 GB at B=4096)
+while the kernel stays O(B * H1) VMEM-resident per tile.
+``pairwise_critic_scores_pallas`` therefore dispatches to XLA whenever
+the intermediate stays under ~8 GB and to the kernel beyond (or when
+``force_kernel=True`` — tests).
 """
 
 from __future__ import annotations
@@ -105,7 +107,12 @@ def _pad_rows(x: jax.Array, block: int) -> jax.Array:
 def _chunk_rows(bi: int, bj: int) -> int:
     """Image rows per inner iteration: target ~512-row pair matrices
     (good MXU M) while dividing the (8-multiple) BI block exactly —
-    powers of two <= 8 always divide it."""
+    powers of two <= 8 always divide it.  The loop bodies accumulate
+    INTO the output refs (no fori_loop carries): carried accumulator
+    arrays duplicate the refs they are flushed into and pushed the
+    backward kernel to 17.7 MB scoped VMEM under the scanned train step
+    (16 MB limit); halving the chunk instead measured 3.25 ms vs this
+    version's 1.95 at B=64."""
     c = 1
     while c < 8 and c * 2 * bj <= 512:
         c *= 2
@@ -147,22 +154,22 @@ def _fwd_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     _, r2 = _expanders(0, chunk, bi, bj)
     tj = jax.lax.dot_general(r2, hj, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (N, H1)
+    outT_ref[...] = jnp.full((bj, bi), b3_ref[0, 0], jnp.float32)
 
-    def body(c, acc):
-        r1, _ = _expanders(c, chunk, bi, bj)
+    def body(c, _):
+        r1, _r2 = _expanders(c, chunk, bi, bj)
         hi_exp = jax.lax.dot_general(r1, hi, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
         t = jax.nn.relu(tj + hi_exp + b1)                     # (N, H1)
         t2 = jax.nn.relu(
             jnp.dot(t, w2, preferred_element_type=jnp.float32) + b2)
         sc = jnp.dot(t2, w3, preferred_element_type=jnp.float32)  # (N, 1)
-        # scatter: acc[j, i] += sum_k R2[k, j] * sc[k] * R1c[k, i]
-        return acc + jax.lax.dot_general(r2, sc * r1, _CONTRACT_ROWS,
-                                         preferred_element_type=jnp.float32)
+        # scatter: out[j, i] += sum_k R2[k, j] * sc[k] * R1c[k, i]
+        outT_ref[...] += jax.lax.dot_general(
+            r2, sc * r1, _CONTRACT_ROWS, preferred_element_type=jnp.float32)
+        return 0
 
-    acc = jax.lax.fori_loop(0, bi // chunk, body,
-                            jnp.zeros((bj, bi), jnp.float32))
-    outT_ref[...] = acc + b3_ref[0, 0]
+    jax.lax.fori_loop(0, bi // chunk, body, 0)
 
 
 def _fwd_call(BLOCK_I, BLOCK_J, h_img, h_txt, b1, w2, b2, w3, b3):
@@ -220,24 +227,21 @@ def _bwd_img_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
     w3 = w3_ref[...]
     gT = gT_ref[...]
     bi = hi.shape[0]
-    h1 = hi.shape[1]
-    h2 = w2.shape[1]
     chunk = _chunk_rows(bi, hj.shape[0])
     _, r2 = _expanders(0, chunk, bi, hj.shape[0])
     tj = jax.lax.dot_general(r2, hj, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (N, H1)
+    # pair-row cotangent candidates: A[k, i] = gT[j(k), i] (loop-invariant)
+    a = jax.lax.dot_general(r2, gT, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (N, BI)
 
-    def body(c, carry):
-        dhi_acc, dw2_acc, db2_acc, dw3_acc, db1_acc = carry
-        r1, _ = _expanders(c, chunk, bi, hj.shape[0])
+    def body(c, _):
+        r1, _r2 = _expanders(c, chunk, bi, hj.shape[0])
         hi_exp = jax.lax.dot_general(r1, hi, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
         t = jax.nn.relu(tj + hi_exp + b1)                        # (N, H1)
         z2 = jnp.dot(t, w2, preferred_element_type=jnp.float32) + b2
         t2 = jax.nn.relu(z2)
-        # pair-row cotangent: A[k, i] = gT[j(k), i]; mask to this chunk's i
-        a = jax.lax.dot_general(r2, gT, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (N, BI)
         g_rows = jnp.sum(a * r1, axis=1, keepdims=True)          # (N, 1)
         # dt2 = g w3^T : (N,1) x (H2,1) contracting last dims -> (N, H2)
         dt2 = jax.lax.dot_general(g_rows, w3, _CONTRACT_LAST,
@@ -247,27 +251,19 @@ def _bwd_img_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
         dt = jax.lax.dot_general(dz2, w2, _CONTRACT_LAST,
                                  preferred_element_type=jnp.float32)
         dz1 = dt * (t > 0)
-        dhi_acc = dhi_acc + jax.lax.dot_general(
+        # accumulate straight into the out refs — no carried copies
+        dhi_ref[...] += jax.lax.dot_general(
             r1, dz1, _CONTRACT_ROWS,
             preferred_element_type=jnp.float32)                  # (BI, H1)
-        dw2_acc = dw2_acc + jax.lax.dot_general(
+        dw2_ref[...] += jax.lax.dot_general(
             t, dz2, _CONTRACT_ROWS, preferred_element_type=jnp.float32)
-        db2_acc = db2_acc + jnp.sum(dz2, axis=0, keepdims=True)
-        dw3_acc = dw3_acc + jax.lax.dot_general(
+        db2_ref[...] += jnp.sum(dz2, axis=0, keepdims=True)
+        dw3_ref[...] += jax.lax.dot_general(
             t2, g_rows, _CONTRACT_ROWS, preferred_element_type=jnp.float32)
-        db1_acc = db1_acc + jnp.sum(dz1, axis=0, keepdims=True)
-        return dhi_acc, dw2_acc, db2_acc, dw3_acc, db1_acc
+        db1_ref[...] += jnp.sum(dz1, axis=0, keepdims=True)
+        return 0
 
-    init = (jnp.zeros((bi, h1), jnp.float32), jnp.zeros((h1, h2), jnp.float32),
-            jnp.zeros((1, h2), jnp.float32), jnp.zeros((h2, 1), jnp.float32),
-            jnp.zeros((1, h1), jnp.float32))
-    dhi_acc, dw2_acc, db2_acc, dw3_acc, db1_acc = jax.lax.fori_loop(
-        0, bi // chunk, body, init)
-    dhi_ref[...] += dhi_acc
-    dw2_ref[...] += dw2_acc
-    db2_ref[...] += db2_acc
-    dw3_ref[...] += dw3_acc
-    db1_ref[...] += db1_acc
+    jax.lax.fori_loop(0, bi // chunk, body, 0)
 
 
 def _bwd_txt_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
@@ -292,15 +288,15 @@ def _bwd_txt_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
     _, r2 = _expanders(0, chunk, bi, bj)
     tj = jax.lax.dot_general(r2, hj, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    a = jax.lax.dot_general(r2, gT, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
-    def body(c, acc):
-        r1, _ = _expanders(c, chunk, bi, bj)
+    def body(c, _):
+        r1, _r2 = _expanders(c, chunk, bi, bj)
         hi_exp = jax.lax.dot_general(r1, hi, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
         t = jax.nn.relu(tj + hi_exp + b1)                        # (N, H1)
         z2 = jnp.dot(t, w2, preferred_element_type=jnp.float32) + b2
-        a = jax.lax.dot_general(r2, gT, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
         g_rows = jnp.sum(a * r1, axis=1, keepdims=True)          # (N, 1)
         dt2 = jax.lax.dot_general(g_rows, w3, _CONTRACT_LAST,
                                   preferred_element_type=jnp.float32)
@@ -309,12 +305,11 @@ def _bwd_txt_kernel(hi_ref, hj_ref, b1_ref, w2_ref, b2_ref, w3_ref, gT_ref,
                                  preferred_element_type=jnp.float32)
         dz1 = dt * (t > 0)
         # gather pair rows back onto their text rows: dhj[j] += sum_k R2[k,j] dz1[k]
-        return acc + jax.lax.dot_general(r2, dz1, _CONTRACT_ROWS,
-                                         preferred_element_type=jnp.float32)
+        dhj_ref[...] += jax.lax.dot_general(r2, dz1, _CONTRACT_ROWS,
+                                            preferred_element_type=jnp.float32)
+        return 0
 
-    acc = jax.lax.fori_loop(0, bi // chunk, body,
-                            jnp.zeros(hj.shape, jnp.float32))
-    dhj_ref[...] += acc
+    jax.lax.fori_loop(0, bi // chunk, body, 0)
 
 
 def _bwd_call(BLOCK_I, BLOCK_J, h_img, h_txt, b1, w2, b2, w3, gT):
@@ -403,17 +398,17 @@ _pair_scores_core.defvjp(_core_fwd, _core_bwd)
 
 
 def pairwise_critic_scores_pallas(params: List[dict], emb_img: jax.Array,
-                                  emb_txt: jax.Array) -> jax.Array:
+                                  emb_txt: jax.Array, *,
+                                  force_kernel: bool = False) -> jax.Array:
     """Drop-in replacement for objectives.pairing.pairwise_critic_scores
     for the reference 3-layer critic shape (W1, W2, w3).  Dispatches to
-    the XLA factorized path outside the kernel's measured win region
-    (module docstring): non-reference critic shapes, or mid-scale
-    batches where XLA is faster and its (BI, BJ, H1) intermediate still
-    fits comfortably."""
+    the XLA factorized path whenever it fits (it is faster there — see
+    module docstring); the kernel serves non-materializable batch sizes.
+    ``force_kernel`` pins the kernel path (parity tests)."""
     pairs = emb_img.shape[0] * emb_txt.shape[0]
     h1 = params[0]["w"].shape[1] if len(params) == 3 else 0
     xla_intermediate_bytes = pairs * h1 * 4
-    if len(params) != 3 or (pairs > 128 * 128
+    if len(params) != 3 or (not force_kernel
                             and xla_intermediate_bytes <= 8 * 1024 ** 3):
         from mimm_tpu.objectives.pairing import pairwise_critic_scores
         return pairwise_critic_scores(params, emb_img, emb_txt)

@@ -25,7 +25,8 @@ def setup():
 def test_forward_matches_xla(setup):
     params, emb_img, emb_txt = setup
     want = pairwise_critic_scores(params, emb_img, emb_txt)
-    got = pairwise_critic_scores_pallas(params, emb_img, emb_txt)
+    got = pairwise_critic_scores_pallas(params, emb_img, emb_txt,
+                                        force_kernel=True)
     assert got.shape == want.shape == (20, 12)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
@@ -41,7 +42,9 @@ def test_gradients_match_xla(setup):
 
     g_ref = jax.grad(lambda p, a, b: loss(pairwise_critic_scores, p, a, b),
                      argnums=(0, 1, 2))(params, emb_img, emb_txt)
-    g_pal = jax.grad(lambda p, a, b: loss(pairwise_critic_scores_pallas, p, a, b),
+    pallas_forced = lambda p, a, b: pairwise_critic_scores_pallas(
+        p, a, b, force_kernel=True)
+    g_pal = jax.grad(lambda p, a, b: loss(pallas_forced, p, a, b),
                      argnums=(0, 1, 2))(params, emb_img, emb_txt)
 
     flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
@@ -77,10 +80,11 @@ def test_mi_loss_with_pallas_matches(setup):
 
 
 def test_midscale_dispatches_to_xla():
-    """Above 128x128 pairs (and while the XLA intermediate fits) the
+    """While the XLA intermediate fits (and force_kernel is not set) the
     wrapper must return the XLA factorized path's result bit-for-bit —
-    the measured crossover has XLA faster there (tools/bench_critic.py:
-    B=512 XLA 6.8 ms vs kernel 16.3)."""
+    scan-chained device timings have XLA faster at every materializable
+    batch (tools/bench_critic.py; the kernel exists for batches whose
+    (BI, BJ, H1) intermediate cannot be materialized)."""
     from mimm_tpu.ops.pairwise_critic import pairwise_critic_scores_pallas
 
     key = jax.random.PRNGKey(11)
@@ -111,7 +115,8 @@ def test_tiled_path_matches_xla(monkeypatch):
     emb_txt = jax.random.normal(k3, (B_t, D))
 
     want = pairwise_critic_scores(params, emb_img, emb_txt)
-    got = pc.pairwise_critic_scores_pallas(params, emb_img, emb_txt)
+    got = pc.pairwise_critic_scores_pallas(params, emb_img, emb_txt,
+                                           force_kernel=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -119,8 +124,9 @@ def test_tiled_path_matches_xla(monkeypatch):
     loss = lambda fn, p, a, b: jnp.sum(fn(p, a, b) * cot)
     g_ref = jax.grad(lambda p, a, b: loss(pairwise_critic_scores, p, a, b),
                      argnums=(0, 1, 2))(params, emb_img, emb_txt)
-    g_pal = jax.grad(lambda p, a, b: loss(pc.pairwise_critic_scores_pallas,
-                                          p, a, b),
+    g_pal = jax.grad(lambda p, a, b: loss(
+        lambda q, c, d: pc.pairwise_critic_scores_pallas(
+            q, c, d, force_kernel=True), p, a, b),
                      argnums=(0, 1, 2))(params, emb_img, emb_txt)
     for r, p_ in zip(jax.tree_util.tree_leaves(g_ref),
                      jax.tree_util.tree_leaves(g_pal)):

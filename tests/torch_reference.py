@@ -425,6 +425,75 @@ def ae_main(work_dir):
              losses=np.asarray(losses, np.float64))
 
 
+# ---------------------------------------------------------------------------
+# Basic_MLP classifier replica (reference model.py:154-214) — ``layers.N``
+# ModuleList key layout (matches mlp_state_dict_from_params(sequential=False)).
+# ---------------------------------------------------------------------------
+
+
+class TorchBasicMLP(nn.Module):
+    def __init__(self, input_dim, hidden_dims, output_dim=1, dropout=0.0):
+        super().__init__()
+        dims = [input_dim, *hidden_dims, output_dim]
+        self.layers = nn.ModuleList(
+            [nn.Linear(dims[i], dims[i + 1]) for i in range(len(dims) - 1)])
+        self.dropout = nn.Dropout(dropout)
+
+    def forward(self, x):
+        for lin in list(self.layers)[:-1]:
+            x = self.dropout(torch.relu(lin(x)))
+        return torch.sigmoid(self.layers[-1](x))
+
+
+def clf_main(work_dir):
+    """Subprocess oracle for the downstream classifier step (reference
+    main_utils.py:318-426): frozen-encoder embeddings (precomputed — the
+    encoders have their own goldens) -> Basic_MLP -> BCELoss -> Adam or
+    SGD(wd=1e-8, momentum=9e-4, nesterov) under ExponentialLR(0.9)
+    stepped per epoch."""
+    import json
+    import os
+
+    import numpy as np
+
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    with open(os.path.join(work_dir, "config.json")) as f:
+        c = json.load(f)
+    model = TorchBasicMLP(c["input_dim"], c["hidden_dims"], dropout=0.0)
+    model.load_state_dict(_load_sd(os.path.join(work_dir, "clf_sd.npz")))
+    f64 = c.get("dtype") == "float64"
+    if f64:
+        model.double()
+    with np.load(os.path.join(work_dir, "batch.npz")) as z:
+        emb = torch.tensor(z["emb"].astype(np.float64 if f64 else np.float32))
+        labels = torch.tensor(z["labels"].astype(
+            np.float64 if f64 else np.float32))
+
+    if c["optimizer"] == "Adam":
+        opt = torch.optim.Adam(model.parameters(), lr=c["init_lr"])
+    else:
+        opt = torch.optim.SGD(model.parameters(), lr=c["init_lr"],
+                              momentum=9e-4, weight_decay=1e-8, nesterov=True)
+    crit = nn.BCELoss()
+    model.train()
+    losses = []
+    for t in range(c["steps"]):
+        # ExponentialLR(0.9) stepped once per epoch (reference
+        # main_utils.py:346,419): constant within an epoch
+        lr = c["init_lr"] * 0.9 ** (t // c["steps_per_epoch"])
+        for grp in opt.param_groups:
+            grp["lr"] = lr
+        out = model(emb)[:, 0]
+        loss = crit(out, labels)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    np.savez(os.path.join(work_dir, "out.npz"),
+             losses=np.asarray(losses, np.float64))
+
+
 if __name__ == "__main__":
     import json as _json
     import os as _os
@@ -432,4 +501,4 @@ if __name__ == "__main__":
 
     with open(_os.path.join(sys.argv[1], "config.json")) as _f:
         _mode = _json.load(_f).get("mode", "mi")
-    (ae_main if _mode == "ae" else main)(sys.argv[1])
+    ({"ae": ae_main, "clf": clf_main}.get(_mode, main))(sys.argv[1])

@@ -8,6 +8,11 @@ bench.py (chained dispatches, one final device->host read).
 History: the original per-row kernel measured 2.34 ms at B=64 vs XLA's
 3.06 ms; the chunked rewrite (8-row pair-matrix GEMMs) is benchmarked
 by this tool.
+
+Each dispatch runs SCAN_STEPS chained steps via lax.scan: a ~2 ms
+kernel measured one dispatch at a time is tunnel-throughput-bound, not
+device-bound (observed 1.7x run-to-run swings on the UNCHANGED XLA
+path with single-step dispatches).
 """
 
 import json
@@ -20,7 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WARMUP = 2
-STEPS = 20
+STEPS = 10
+SCAN_STEPS = 32  # chained steps per dispatch
 
 
 def main():
@@ -63,16 +69,22 @@ def main():
                 scores = score_fn(p, ei, et)
                 return critics_lib.dv_bound_from_scores(scores, sids)
 
-            @jax.jit
-            def step(state, _):
+            import optax
+
+            def one(state, _):
                 p, opt = state
                 loss, g = jax.value_and_grad(loss_fn)(p)
                 upd, opt = tx.update(g, opt, p)
-                import optax
                 return (optax.apply_updates(p, upd), opt), loss
 
+            @jax.jit
+            def step(state, _):
+                state, losses = jax.lax.scan(one, state, None,
+                                             length=SCAN_STEPS)
+                return state, losses[-1]
+
             dt = timed(step, (params0, tx.init(params0)))
-            out[f"B{b}_{tag}_ms"] = round(dt * 1e3, 2)
+            out[f"B{b}_{tag}_ms"] = round(dt * 1e3 / SCAN_STEPS, 3)
             print(json.dumps(out), flush=True)
 
 
