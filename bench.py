@@ -76,9 +76,14 @@ def main():
                                    make_mi_train_step, make_optimizers)
 
     on_tpu = jax.default_backend() == "tpu"
+    # pallas_stem OFF: in the full production step the stem choice is
+    # measured NEUTRAL (1633.9 vs 1634.0 pairs/s, per-bucket ms equal to
+    # 0.1), and the isolated scan-chained tower probe favors the XLA stem
+    # (7.16 vs 9.23 ms) — the earlier "stem kernel wins" came from
+    # single-dispatch tunnel-latency noise (tools/bench_image_tower.py).
     cfg = TrainingConfig().replace(
         batch_size=BATCH, compute_dtype="bfloat16", mi_estimator="dv",
-        use_pallas_critic=on_tpu, pallas_stem=on_tpu, gelu_tanh=True,
+        use_pallas_critic=on_tpu, gelu_tanh=True,
         adamw_moment_dtype="bfloat16",
         scan_steps=SCAN_STEPS, seq_buckets=tuple(BUCKET_MIX))
     bert_cfg = BertConfig(num_classes=cfg.output_channels,

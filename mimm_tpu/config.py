@@ -147,9 +147,9 @@ class TrainingConfig:
     # VMEM; requires gelu_tanh.  Measured slower than the XLA FFN on
     # v5e (ops/fused_ffn.py docstring) — experiment, off by default.
     fused_ffn: bool = False
-    # Pallas 9-shift kernel for the stem's shallow 1->8ch conv (XLA's
-    # emitter is ~16x off the bandwidth bound there; ops/shallow_conv.py).
-    # Same canonical conv1 parameter; f32 accumulation.  Enable on TPU.
+    # Pallas 9-shift kernel for the stem's shallow 1->8ch conv
+    # (ops/shallow_conv.py).  Exact, but measured slower than the XLA
+    # stem under device-bound timing — experiment, off by default.
     pallas_stem: bool = False
     # Sequence-length buckets for the paired loader (e.g. (64,96,128,192,320));
     # empty = reference behavior (every report padded to max_seq_length).

@@ -231,10 +231,11 @@ class ResNet256_6_2_1(nn.Module):
     # entry convs) — exactly the same function and parameter tree, kernels
     # derived from the canonical params in-flight (see module comment).
     s2d_stem: bool = False
-    # Pallas shallow-conv kernel for conv1 (ops/shallow_conv.py): XLA's
-    # 1->8ch 3x3 conv emitter measured ~16x off the bandwidth bound; the
-    # 9-shift VPU kernel (f32 accumulation, same canonical parameter) wins
-    # ~1 ms/step at B=64 on v5e.  Enable on TPU (interpret mode elsewhere).
+    # Pallas 9-shift VPU kernel for conv1 (ops/shallow_conv.py): exact
+    # (f32 accumulation, same canonical parameter) but measured SLOWER
+    # than the XLA stem with device-bound scan-chained timing (7.16 vs
+    # 9.23 ms full tower step at B=64) — off by default, documented
+    # experiment (the earlier "win" was dispatch-latency noise).
     pallas_stem: bool = False
 
     @nn.compact

@@ -1,11 +1,20 @@
 """Pallas TPU kernel: the ResNet stem's shallow 3x3 convolution.
 
-XLA's conv emitter is pathological for the stem's 1->8-channel 3x3
+STATUS: measured SLOWER than the XLA stem once timing is device-bound —
+ships OFF by default as a documented experiment.  Scan-chained full
+tower step at B=64 (tools/bench_image_tower.py, 8 steps/dispatch):
+XLA stem 7.16 ms vs this kernel 9.23 ms.  The round-2 "conv1 stage
+4.3 -> 3.3 ms" win that put this kernel in production was measured
+with single-step dispatches through the axon tunnel, i.e. it was
+dispatch-latency variance, not device time (the same artifact that
+inverted the pairwise-critic comparison — see ops/pairwise_critic.py).
+
+Original motivation (single-dispatch numbers, kept for history): XLA's
+conv emitter looked pathological for the stem's 1->8-channel 3x3
 convolution at 256x256 (reference model.py:299-301 conv1): measured
 1.6 ms forward / ~1.3 ms kernel-gradient at B=64 on v5e for 0.6 GFLOP of
-work — ~16x off the bandwidth bound — because a contraction depth of 9
-and 8 output channels leave the MXU idle and the shallow-conv rewrite
-relayouts repeatedly (tools/bench_image_tower.py).
+work — because a contraction depth of 9 and 8 output channels leave the
+MXU idle (tools/bench_image_tower.py).
 
 A 1-input-channel conv is just 9 shifted scalar multiply-adds — pure VPU
 work.  This kernel computes all C_out channels of one image per grid

@@ -1,17 +1,19 @@
 """Per-stage image-tower profile: where does ResNet256_6_2_1 time go?
 
 ROUND1.md flagged the image tower as the short-bucket floor (~1/3 of the
-L=64 step) with thin 8-32 channel convs underutilizing the MXU.  Before
-optimizing (space-to-depth stem etc.), this tool measures:
+L=64 step) with thin 8-32 channel convs underutilizing the MXU.  This
+tool measures:
 
-* the full image-tower train step (fwd+bwd+Adam) — the number that
-  matters for the MI step;
+* the full image-tower train step (fwd+bwd+Adam) — canonical XLA stem,
+  Pallas shallow-conv stem (production), and the s2d experiment;
 * cumulative prefixes of the tower (conv1+bn1, ..+layer1, ..+layer2, ...)
-  forward+backward, so per-stage cost = successive differences;
-* each prefix forward-only, to separate fwd from bwd cost.
+  forward+backward, so per-stage cost = successive differences.
 
-Methodology matches bench.py: chained dispatches, one device->host read
-at the end (a per-step read adds a ~25-40 ms tunnel round trip).
+Timing is SCAN-CHAINED (SCAN_STEPS steps per device dispatch): the
+small prefixes run ~1-4 ms/step, where single-step dispatch timing
+through the axon tunnel measures tunnel throughput, not device time
+(bench_critic.py learned this the hard way — 1.7x run-to-run swings on
+unchanged code).
 
 Usage: python tools/bench_image_tower.py   (axon env -> real TPU chip)
 """
@@ -26,8 +28,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = 64
-WARMUP = 2
-STEPS = 20
+WARMUP = 1
+STEPS = 6
+SCAN_STEPS = 8
 
 
 def main():
@@ -39,79 +42,58 @@ def main():
 
     from mimm_tpu.models.resnet import ResNet256_6_2_1
 
-    out = {"backend": jax.default_backend(), "batch": BATCH}
+    out = {"backend": jax.default_backend(), "batch": BATCH,
+           "scan_steps": SCAN_STEPS}
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.random((BATCH, 256, 256, 1), np.float32))
-    model = ResNet256_6_2_1(output_channels=1, dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
-    params, bstats = variables["params"], variables["batch_stats"]
 
-    # --- full tower train step (fwd+bwd+Adam), the MI-step contribution ---
-    tx = optax.adam(1e-4)
-    opt = tx.init(params)
-
-    def loss_fn(p, bs, x):
-        (y, z, ys, zl, yl), mut = model.apply(
-            {"params": p, "batch_stats": bs}, x, train=True,
-            mutable=["batch_stats"])
-        return jnp.sum(z.astype(jnp.float32) ** 2) * 1e-6, mut["batch_stats"]
-
-    @jax.jit
-    def train_step(p, bs, opt, x, salt):
-        (loss, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, bs, x + salt)
-        upd, opt = tx.update(g, opt, p)
-        return optax.apply_updates(p, upd), new_bs, opt, loss
-
-    def timed(fn, *args):
-        state = args
+    def timed(step, state):
         for _ in range(WARMUP):
-            state = fn(*state)
-            float(np.asarray(jax.device_get(state[-1])).ravel()[0])
+            state, loss = step(state, None)
+            float(np.asarray(jax.device_get(loss)).ravel()[0])
         t0 = time.perf_counter()
-        outs = []
-        for i in range(STEPS):
-            state = fn(*state)
-            outs.append(state[-1])
-        np.asarray(jax.device_get(outs[-1]))
-        return (time.perf_counter() - t0) / STEPS * 1e3  # ms
+        losses = []
+        for _ in range(STEPS):
+            state, loss = step(state, None)
+            losses.append(loss)
+        final = np.asarray(jax.device_get(losses[-1]))
+        dt = (time.perf_counter() - t0) / (STEPS * SCAN_STEPS)
+        assert np.isfinite(final).all()
+        return round(dt * 1e3, 2)  # ms/step
 
-    def chained_train(p, bs, opt, x, loss=None):
-        # fold the previous loss into the input so steps chain
-        salt = (loss * 0.0) if loss is not None else 0.0
-        p, bs, opt, loss = train_step(p, bs, opt, x, salt)
-        return p, bs, opt, x, loss
+    def tower_step_time(tag, **model_kw):
+        model = ResNet256_6_2_1(output_channels=1, dtype=jnp.bfloat16,
+                                **model_kw)
+        variables = model.init(jax.random.PRNGKey(0), image[:1], train=False)
+        params, bstats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-4)
 
-    out["full_train_step_ms"] = round(
-        timed(chained_train, params, bstats, opt, image), 2)
+        def loss_fn(p, bs, x):
+            (y, z, ys, zl, yl), mut = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"])
+            return jnp.sum(z.astype(jnp.float32) ** 2) * 1e-6, mut["batch_stats"]
 
-    # --- same step on the space-to-depth stem schedule (same params) ------
-    s2d_model = ResNet256_6_2_1(output_channels=1, dtype=jnp.bfloat16,
-                                s2d_stem=True)
+        def one(carry, _):
+            p, bs, opt, salt = carry
+            (loss, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, bs, image + salt)
+            upd, opt = tx.update(g, opt, p)
+            return (optax.apply_updates(p, upd), nbs, opt, loss * 0.0), loss
 
-    def s2d_loss(p, bs, x):
-        (y, z, ys, zl, yl), mut = s2d_model.apply(
-            {"params": p, "batch_stats": bs}, x, train=True,
-            mutable=["batch_stats"])
-        return jnp.sum(z.astype(jnp.float32) ** 2) * 1e-6, mut["batch_stats"]
+        @jax.jit
+        def step(state, _):
+            state, losses = jax.lax.scan(one, state, None, length=SCAN_STEPS)
+            return state, losses[-1]
 
-    @jax.jit
-    def s2d_step(p, bs, opt, x, salt):
-        (loss, new_bs), g = jax.value_and_grad(s2d_loss, has_aux=True)(
-            p, bs, x + salt)
-        upd, opt = tx.update(g, opt, p)
-        return optax.apply_updates(p, upd), new_bs, opt, loss
+        out[tag] = timed(step, (params, bstats, tx.init(params),
+                                jnp.zeros([], jnp.float32)))
+        print(json.dumps(out), flush=True)
 
-    def chained_s2d(p, bs, opt, x, loss=None):
-        salt = (loss * 0.0) if loss is not None else 0.0
-        p, bs, opt, loss = s2d_step(p, bs, opt, x, salt)
-        return p, bs, opt, x, loss
-
-    out["s2d_train_step_ms"] = round(
-        timed(chained_s2d, params, bstats, opt, image), 2)
+    tower_step_time("full_train_step_ms")
+    tower_step_time("pallas_stem_train_step_ms", pallas_stem=True)
 
     # --- cumulative prefixes: conv1, +layer1, ..., +layer6 -----------------
-    # Build sub-models by running the tower and stopping after stage K.
     class Prefix(nn.Module):
         upto: int  # 0 = conv1+bn1+relu only, k = through layer k
         dtype: object = jnp.bfloat16
@@ -142,30 +124,32 @@ def main():
     for upto in range(0, 7):
         sub = Prefix(upto=upto)
         svars = sub.init(jax.random.PRNGKey(0), image[:1], train=False)
-        sp, sbs = svars["params"], svars["batch_stats"]
 
         def sub_loss(p, bs, x):
             y, mut = sub.apply({"params": p, "batch_stats": bs}, x, train=True,
                                mutable=["batch_stats"])
             return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6, mut["batch_stats"]
 
-        @jax.jit
-        def fb(p, bs, x, salt):
-            (l, nbs), g = jax.value_and_grad(sub_loss, has_aux=True)(p, bs,
-                                                                     x + salt)
-            # touch grads so XLA cannot DCE the backward
+        def one(carry, _):
+            p, bs, salt = carry
+            (l, nbs), g = jax.value_and_grad(sub_loss, has_aux=True)(
+                p, bs, image + salt)
+            # touch grads so XLA cannot DCE the backward; params unchanged
             gsum = sum(jnp.sum(a.astype(jnp.float32) ** 2)
                        for a in jax.tree.leaves(g))
-            return p, bs, x, l + gsum * 1e-9
+            return (p, nbs, (l + gsum) * 0.0), l + gsum * 1e-9
 
-        def chained(p, bs, x, loss=None):
-            salt = (loss * 0.0) if loss is not None else 0.0
-            p, bs, x, loss = fb(p, bs, x, salt)
-            return p, bs, x, loss
+        @jax.jit
+        def fb(state, _):
+            state, losses = jax.lax.scan(one, state, None, length=SCAN_STEPS)
+            return state, losses[-1]
 
         key = "conv1" if upto == 0 else f"+layer{upto}"
-        prefix_ms[key] = round(timed(chained, sp, sbs, image), 2)
-    out["cumulative_fwd_bwd_ms"] = prefix_ms
+        prefix_ms[key] = timed(fb, (svars["params"], svars["batch_stats"],
+                                    jnp.zeros([], jnp.float32)))
+        out["cumulative_fwd_bwd_ms"] = prefix_ms
+        print(json.dumps(out), flush=True)
+
     stages = list(prefix_ms)
     out["per_stage_ms"] = {
         stages[i]: round(prefix_ms[stages[i]] -
