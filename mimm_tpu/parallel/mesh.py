@@ -62,6 +62,69 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def bert_tp_shardings(mesh: Mesh, text_params):
+    """Tensor-parallel PartitionSpecs for the TextBert param tree over
+    'model' (Megatron-style; no reference counterpart — the reference is
+    single-device, SURVEY.md §2):
+
+    * attention query/key/value and FFN ``intermediate`` kernels are
+      COLUMN-parallel ``P(None, 'model')`` (their biases shard with the
+      output features) — each shard computes a head/neuron slice;
+    * ``attention_output`` and FFN ``output`` kernels are ROW-parallel
+      ``P('model', None)`` (biases replicated) — XLA inserts the
+      reduce at the row-parallel boundary;
+    * embeddings, LayerNorms, pooler, and classifier head replicate.
+
+    Head slicing stays aligned because ``num_attention_heads`` (12) is
+    divisible by the 'model' axis size for the meshes we build (2/4-way).
+    Returns a PartitionSpec pytree with the same structure as
+    ``text_params`` (identity specs when the mesh has no 'model' axis).
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        return jax.tree.map(lambda _: P(), text_params)
+    col_modules = {"query", "key", "value", "intermediate"}
+    row_modules = {"attention_output", "output"}
+
+    def spec_for(path, _leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if len(names) >= 2:
+            module, leaf = names[-2], names[-1]
+            if module in col_modules:
+                return P(None, MODEL_AXIS) if leaf == "kernel" else P(MODEL_AXIS)
+            if module in row_modules and leaf == "kernel":
+                return P(MODEL_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, text_params)
+
+
+def shard_mi_state(mesh: Mesh, state):
+    """Place an MITrainState on the mesh: batch-independent trees
+    replicate; when the mesh has a 'model' axis the critic goes
+    tensor-parallel (``critic_tp_shardings``) and the BERT text tower
+    Megatron-style (``bert_tp_shardings``).  Optimizer moment trees start
+    replicated — XLA re-shards them to match their params on the first
+    update (they are donated, so no stale replicated copy survives)."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return replicate(mesh, state)
+    put = lambda tree, specs: jax.device_put(
+        tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                           is_leaf=lambda x: isinstance(x, P)))
+    params = dict(state.params)
+    params["text_model"] = put(params["text_model"],
+                               bert_tp_shardings(mesh, params["text_model"]))
+    params["image_model"] = replicate(mesh, params["image_model"])
+    return state._replace(
+        params=params,
+        batch_stats=replicate(mesh, state.batch_stats),
+        critic_params=put(state.critic_params,
+                          critic_tp_shardings(mesh, state.critic_params)),
+        img_opt=replicate(mesh, state.img_opt),
+        mi_opt=replicate(mesh, state.mi_opt),
+        txt_opt=replicate(mesh, state.txt_opt),
+        step=replicate(mesh, state.step))
+
+
 def critic_tp_shardings(mesh: Mesh, critic_params) -> Tuple:
     """Tensor-parallel layout for the MI discriminator over 'model':
     layer 0 column-parallel (hidden sharded), layer 1 row-parallel, rest

@@ -332,7 +332,9 @@ class MultiModalManager:
             state = create_mi_state(self.model, cfg, txs,
                                     jax.random.PRNGKey(cfg.seed),
                                     bert_variables=self.bert_variables)
-        state = mesh_lib.replicate(mesh, state)
+        # replicate (pure DP) or, with a 'model' mesh axis, tensor-parallel
+        # critic + Megatron-style BERT placement (parallel/mesh.py)
+        state = mesh_lib.shard_mi_state(mesh, state)
         data_shards = 1 if cfg.global_negatives else \
             int(dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1))
         train_step = make_mi_train_step(self.model, txs, cfg,

@@ -165,6 +165,41 @@ def test_shard_map_all_gather_negatives_production_shapes():
                                        rtol=5e-4, atol=1e-5)
 
 
+def test_bert_tp_full_step_matches_replicated():
+    """Tensor-parallel text tower (query/key/value/intermediate column-,
+    attention_output/output row-parallel over 'model') + TP critic on a
+    data x model mesh: the full MI train step must produce the same loss
+    as the fully replicated step — GSPMD inserts the reduce at each
+    row-parallel boundary, no semantic change."""
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    step = make_mi_train_step(model, txs, cfg)
+    batch = _make_batch(8, 128, 16)
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    s1 = mesh_lib.replicate(mesh1,
+                            create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    s1, loss1 = step(s1, mesh_lib.shard_batch(mesh1, batch))
+
+    mesh_tp = mesh_lib.make_mesh({"data": 2, "model": 2})
+    s_tp = mesh_lib.shard_mi_state(
+        mesh_tp, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    # the text tower is genuinely sharded (not replicated) over 'model'
+    qk = s_tp.params["text_model"]["bert"]["layer0"]["attention"]["query"]["kernel"]
+    assert not qk.sharding.is_fully_replicated
+    s_tp, loss_tp = step(s_tp, mesh_lib.shard_batch(mesh_tp, batch))
+
+    np.testing.assert_allclose(float(loss_tp), float(loss1), rtol=1e-5, atol=1e-6)
+    _, loss1b = step(s1, mesh_lib.shard_batch(mesh1, batch))
+    _, loss_tpb = step(s_tp, mesh_lib.shard_batch(mesh_tp, batch))
+    np.testing.assert_allclose(float(loss_tpb), float(loss1b),
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_shard_batch_rejects_indivisible_batch():
     """A batch not divisible by the 'data' axis must fail loudly at
     device_put time (the Manager never produces one: drop_last is on and
