@@ -46,15 +46,18 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 18.0  # BASELINE.md (derived from epoch logs)
 BATCH = 64
-# report-length mix measured on the fixture corpus (see module docstring)
+# report-length mix measured on the fixture corpus (see module docstring;
+# tools/derive_buckets.py recomputes it from any TSV corpus)
 BUCKET_MIX = {64: 0.327, 96: 0.391, 128: 0.182, 192: 0.082, 320: 0.018}
-SCAN_STEPS = 8  # production cfg.scan_steps
+# production cfg.scan_steps (env override for A/B probes only)
+SCAN_STEPS = int(os.environ.get("MIMM_BENCH_SCAN_STEPS", "8"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 20
 

@@ -25,7 +25,14 @@ MODEL_AXIS = "model"
 def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
               devices=None) -> Mesh:
     """Build a mesh.  Default: all local devices on the 'data' axis.
-    ``mesh_shape`` e.g. {'data': 4, 'model': 2}."""
+    ``mesh_shape`` e.g. {'data': 4, 'model': 2}.
+
+    On real TPU topologies the device order matters: axes that carry the
+    heaviest collectives should ride contiguous ICI links.
+    ``mesh_utils.create_device_mesh`` assigns devices to mesh coordinates
+    from the physical coords (ring/torus aware); we use it whenever the
+    requested mesh covers all devices, and fall back to a plain reshape
+    for partial meshes or host/virtual platforms it cannot handle."""
     devices = devices if devices is not None else jax.devices()
     if not mesh_shape:
         return Mesh(np.asarray(devices), (DATA_AXIS,))
@@ -34,6 +41,13 @@ def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
     n = int(np.prod(dims))
     if n > len(devices):
         raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")
+    if n == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+            return Mesh(mesh_utils.create_device_mesh(dims, devices=devices),
+                        names)
+        except Exception:
+            pass  # virtual/host platforms without coords: plain reshape below
     return Mesh(np.asarray(devices[:n]).reshape(dims), names)
 
 
