@@ -200,6 +200,42 @@ def test_bert_tp_full_step_matches_replicated():
                                rtol=5e-4, atol=5e-5)
 
 
+def test_bert_tp_multi_step_scan_matches_single_steps():
+    """Production combines scan dispatch (make_mi_multi_step) with the
+    sharded state; with a TP text tower the lax.scan carry must preserve
+    the 'model' shardings across chained steps.  K=2 scanned steps on the
+    TP state must equal 2 sequential single steps on the replicated
+    state."""
+    from mimm_tpu.train.mi import make_mi_multi_step
+
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    step = make_mi_train_step(model, txs, cfg)
+    s1 = mesh_lib.replicate(mesh1,
+                            create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    b1 = mesh_lib.shard_batch(mesh1, batch)
+    s1, loss_a = step(s1, b1)
+    _, loss_b = step(s1, b1)
+
+    mesh_tp = mesh_lib.make_mesh({"data": 2, "model": 2})
+    s_tp = mesh_lib.shard_mi_state(
+        mesh_tp, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    multi = make_mi_multi_step(model, txs, cfg)
+    stacked = {k: jnp.stack([v, v]) for k, v in batch.items()}
+    stacked = jax.device_put(stacked, mesh_lib.stacked_batch_sharding(mesh_tp))
+    s_tp, losses = multi(s_tp, stacked)
+    np.testing.assert_allclose(np.asarray(losses),
+                               [float(loss_a), float(loss_b)],
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_shard_batch_rejects_indivisible_batch():
     """A batch not divisible by the 'data' axis must fail loudly at
     device_put time (the Manager never produces one: drop_last is on and

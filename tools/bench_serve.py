@@ -1,0 +1,68 @@
+"""Serving-path throughput: InferenceSession.embed_images / classify.
+
+The reference has no serving story (SURVEY.md §0); mimm_tpu.serve wraps
+trained checkpoints in jitted fixed-batch entry points.  This bench
+measures sustained throughput of those entry points INCLUDING the
+host->device transfer each request pays (that is the serving contract;
+training hides transfers behind prefetch, serving cannot).
+
+    python tools/bench_serve.py --save_directory /tmp/e2e_fixture/save_dir/mm_dv_epoch1
+
+Prints one JSON line with imgs/s for embedding and (if a classifier
+checkpoint is present) classification.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 64
+REQUESTS = 20
+
+
+def timed(fn, images):
+    fn(images[:BATCH])  # compile + warm
+    t0 = time.perf_counter()
+    out = [fn(images) for _ in range(REQUESTS)]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(o).all() for o in out)
+    return REQUESTS * images.shape[0] / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--save_directory", required=True)
+    p.add_argument("--disease", default=None,
+                   help="load pytorch_image_classifier_<disease>*.bin and "
+                        "bench classify() too")
+    p.add_argument("--img_size", type=int, default=256)
+    args = p.parse_args()
+
+    from mimm_tpu.serve import InferenceSession
+
+    layers = [1024, 512, 256, 128, 64, 32, 16] if args.disease else None
+    session = InferenceSession(args.save_directory, batch_size=BATCH,
+                               classifier_layers=layers, disease=args.disease)
+    rng = np.random.default_rng(0)
+    images = rng.random((BATCH * 4, args.img_size, args.img_size, 1),
+                        np.float32)
+
+    result = {"metric": "serve_embed_images_per_sec",
+              "value": round(timed(session.embed_images, images), 2),
+              "unit": "imgs/s", "batch": BATCH}
+    if args.disease:
+        result["classify_imgs_per_sec"] = round(
+            timed(session.classify, images), 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
