@@ -1,0 +1,133 @@
+"""CLI: HTTP model server over mimm_tpu.serve.InferenceSession.
+
+The reference has no serving story (SURVEY.md §0: "no serving path");
+this entry point turns trained reference-named checkpoints into a
+production inference endpoint on the local TPU:
+
+    python cli/serve.py --save_directory save_dir/dv_epoch20 \
+        --disease Pneumonia --port 8321
+
+Endpoints (all JSON unless an npy body is sent):
+
+* ``GET  /healthz``        -> {"status": "ok", "batch_size": N, ...}
+* ``POST /embed_images``   -> {"embeddings": [[...768 floats...], ...]}
+* ``POST /classify``       -> {"probabilities": [p, ...]}  (needs --disease)
+
+Request body formats for the POST endpoints:
+
+* ``application/x-npy`` — a numpy .npy payload of shape (N, H, W) or
+  (N, H, W, 1), dtype uint8/uint16/float32.  Integer images are
+  normalized on device exactly like training (ops/image_norm.py).
+* ``application/json`` — {"images": <nested list>} with the same shapes.
+
+The server is a stdlib ThreadingHTTPServer; request threads funnel into
+the jitted fixed-batch entry points (one compile per configured batch
+size, amortized across requests).  For multi-tenant or multi-host serving
+put a real frontend in front — this is the single-chip worker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
+    length = int(handler.headers.get("Content-Length", 0))
+    body = handler.rfile.read(length)
+    ctype = handler.headers.get("Content-Type", "application/json")
+    if "x-npy" in ctype:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+    else:
+        arr = np.asarray(json.loads(body.decode())["images"])
+        if arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., None]
+    if arr.ndim != 4:
+        raise ValueError(f"expected (N,H,W[,1]) images, got {arr.shape}")
+    return arr
+
+
+def make_handler(session):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "batch_size": session.batch_size,
+                    "classifier": session.classifier is not None,
+                })
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                if self.path == "/embed_images":
+                    emb = session.embed_images(_parse_images(self))
+                    self._send(200, {"embeddings": emb.tolist()})
+                elif self.path == "/classify":
+                    probs = session.classify(_parse_images(self))
+                    self._send(200, {"probabilities": probs.tolist()})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+            except RuntimeError as e:  # e.g. classify without a classifier
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # malformed payloads
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def build_server(save_directory: str, port: int = 8321,
+                 batch_size: int = 64, disease: str = None,
+                 classifier_layers=None,
+                 host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    from mimm_tpu.serve import InferenceSession
+
+    if disease and classifier_layers is None:
+        classifier_layers = [1024, 512, 256, 128, 64, 32, 16]
+    session = InferenceSession(save_directory, batch_size=batch_size,
+                               classifier_layers=classifier_layers,
+                               disease=disease)
+    return ThreadingHTTPServer((host, port), make_handler(session))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--save_directory", required=True)
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--disease", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    args = p.parse_args()
+
+    server = build_server(args.save_directory, port=args.port,
+                          batch_size=args.batch_size, disease=args.disease,
+                          host=args.host)
+    print(json.dumps({"serving": f"http://{args.host}:{server.server_port}",
+                      "save_directory": args.save_directory}))
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -71,6 +71,10 @@ def generate_GradCAM_image(image_model, variables, classifier_apply, image,
 
     if image.ndim == 3:
         image = image[None]
+    # accept compact-transfer (integer) crops: same device-side
+    # normalization as the train/eval steps (ops/image_norm.py)
+    from mimm_tpu.ops.image_norm import device_normalize
+    image = np.asarray(device_normalize(jnp.asarray(image)))
     cam = resnet_grad_cam(image_model, variables, classifier_apply,
                           jnp.asarray(image))[0]
     h, w = image.shape[1:3]

@@ -151,6 +151,27 @@ class TrainingConfig:
     # (ops/shallow_conv.py).  Exact, but measured slower than the XLA
     # stem under device-bound timing — experiment, off by default.
     pallas_stem: bool = False
+    # Compact host->device transfer: the loader ships un-normalized
+    # integer image crops (uint8/uint16 — 2-4x fewer bytes than float32)
+    # and narrow token dtypes; the jitted step widens + max-normalizes on
+    # device with identical math (ops/image_norm.py, exact for integer
+    # sources).  Halves/quarters the largest per-batch PCIe stream.
+    compact_transfer: bool = True
+    # PRNG implementation for the per-step dropout keys ('unsafe_rbg' |
+    # 'rbg' | 'threefry2x32').  The default uses the TPU hardware RNG:
+    # threefry mask generation costs ~25% of a short-bucket BERT step on
+    # v5e, and dropout semantics only need statistically-uniform masks.
+    # Runs stay deterministic for a fixed seed (keys are typed and carry
+    # their impl; nothing global changes).  Parity/golden tests run with
+    # dropout disabled, so this knob never affects them.
+    rng_impl: str = "unsafe_rbg"
+    # Checkpoint cadence in epochs for the MI and AE Managers.  1 =
+    # reference parity (every epoch writes the full native tree + the
+    # .bin exports, main_utils.py:242-245,683-689); N > 1 writes every
+    # Nth epoch (the final epoch always saves).  The .bin export is a
+    # host-side device_get + pickle of every parameter — a real cost on
+    # short epochs — and production runs rarely need per-epoch bins.
+    checkpoint_every_epochs: int = 1
     # Sequence-length buckets for the paired loader (e.g. (64,96,128,192,320));
     # empty = reference behavior (every report padded to max_seq_length).
     # Real MIMIC reports average ~85 tokens, so bucketing cuts text-tower

@@ -62,10 +62,27 @@ def get_lib():
         except OSError as e:
             logger.warning("could not load %s: %s", _LIB_PATH, e)
             return None
+        if not hasattr(lib, "affine_crop_raw_u8"):
+            # Stale .so from before the raw-transfer symbols — rebuild once.
+            # NOTE: dlopen caches by path, so re-CDLL'ing the same file can
+            # return the already-mapped old image; if the symbols are still
+            # missing, fall back to the numpy path for this process (the
+            # next process picks up the fresh build).
+            if not _build():
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "affine_crop_raw_u8"):
+                logger.warning("rebuilt %s but this process still maps the "
+                               "old image; using numpy host ops", _LIB_PATH)
+                return None
         lib.affine_crop_norm_u8.argtypes = [_U8, _I64, _I64, _D, _I64, _I64, _I64, _F]
         lib.affine_crop_norm_u16.argtypes = [_U16, _I64, _I64, _D, _I64, _I64, _I64, _F]
         lib.center_crop_norm_u8.argtypes = [_U8, _I64, _I64, _I64, _I64, _I64, _F]
         lib.center_crop_norm_u16.argtypes = [_U16, _I64, _I64, _I64, _I64, _I64, _F]
+        lib.affine_crop_raw_u8.argtypes = [_U8, _I64, _I64, _D, _I64, _I64, _I64, _U8]
+        lib.affine_crop_raw_u16.argtypes = [_U16, _I64, _I64, _D, _I64, _I64, _I64, _U16]
+        lib.center_crop_raw_u8.argtypes = [_U8, _I64, _I64, _I64, _I64, _I64, _U8]
+        lib.center_crop_raw_u16.argtypes = [_U16, _I64, _I64, _I64, _I64, _I64, _U16]
         _lib = lib
         return _lib
 
@@ -88,6 +105,48 @@ def affine_crop_norm(img: np.ndarray, matrix, top: int, left: int,
     m = (ctypes.c_double * 6)(*matrix)
     fn(ptr, img.shape[0], img.shape[1], m, top, left, out_size,
        out.ctypes.data_as(_F))
+    return out
+
+
+def affine_crop_raw(img: np.ndarray, matrix, top: int, left: int,
+                    out_size: int) -> Optional[np.ndarray]:
+    """Affine+crop WITHOUT normalization, returning the source dtype
+    (uint8/uint16) — the compact host->device transfer path (the jitted
+    step performs the identical f32 cast + max-normalize on device,
+    mimm_tpu/ops/image_norm.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint8:
+        fn, ptr_t = lib.affine_crop_raw_u8, _U8
+    elif img.dtype == np.uint16:
+        fn, ptr_t = lib.affine_crop_raw_u16, _U16
+    else:
+        return None
+    out = np.empty((out_size, out_size), img.dtype)
+    m = (ctypes.c_double * 6)(*matrix)
+    fn(img.ctypes.data_as(ptr_t), img.shape[0], img.shape[1], m, top, left,
+       out_size, out.ctypes.data_as(ptr_t))
+    return out
+
+
+def center_crop_raw(img: np.ndarray, top: int, left: int,
+                    out_size: int) -> Optional[np.ndarray]:
+    """Center-crop without normalization (eval-path compact transfer)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint8:
+        fn, ptr_t = lib.center_crop_raw_u8, _U8
+    elif img.dtype == np.uint16:
+        fn, ptr_t = lib.center_crop_raw_u16, _U16
+    else:
+        return None
+    out = np.empty((out_size, out_size), img.dtype)
+    fn(img.ctypes.data_as(ptr_t), img.shape[0], img.shape[1], top, left,
+       out_size, out.ctypes.data_as(ptr_t))
     return out
 
 

@@ -66,11 +66,12 @@ class CXRImageDataset:
     metadata CSV with a ``mimic_id`` column of image-relative paths."""
 
     def __init__(self, img_dir: str, dataset_metadata: str, img_size: int = 256,
-                 data_key: str = "mimic_id"):
+                 data_key: str = "mimic_id", compact: bool = False):
         self.img_dir = img_dir
         self.img_size = img_size
         self.rows = _read_metadata_csv(dataset_metadata)
         self.data_key = data_key
+        self.compact = compact
 
     def __len__(self):
         return len(self.rows)
@@ -81,20 +82,32 @@ class CXRImageDataset:
         img = _imread(os.path.join(self.img_dir, img_id))
         if img is None:
             return None
-        img = transforms.reference_transform(img, rng, self.img_size, train=train)
+        img = transforms.reference_transform(img, rng, self.img_size,
+                                             train=train, raw=self.compact)
         return {"image": img[..., None]}  # HWC, C=1
 
 
 class CXRImageReportDataset:
-    """Paired image+tokenized-report dataset (reference model_utils.py:92-230)."""
+    """Paired image+tokenized-report dataset (reference model_utils.py:92-230).
+
+    ``compact=True`` (compact transfer, cfg.compact_transfer): samples carry
+    the un-normalized integer image crop and narrow token dtypes (uint16
+    ids, uint8 masks/segments); the jitted step widens + normalizes on
+    device (ops/image_norm.py decompact_batch) with identical math, at
+    half/quarter the host->device bytes."""
 
     def __init__(self, token_features, img_dir: str, dataset_metadata: str,
-                 img_size: int = 256, data_key: str = "mimic_id"):
+                 img_size: int = 256, data_key: str = "mimic_id",
+                 compact: bool = False):
         self.tokens = token_features  # TokenFeatureSet
         self.img_dir = img_dir
         self.img_size = img_size
         self.rows = _read_metadata_csv(dataset_metadata)
         self.data_key = data_key
+        # uint16 token ids only if the vocab fits (standard BERT: 30522)
+        self.compact = compact
+        self._narrow_ids = bool(compact) and \
+            int(token_features.input_ids.max(initial=0)) < 2 ** 16
 
     def __len__(self):
         return len(self.rows)
@@ -119,8 +132,14 @@ class CXRImageReportDataset:
         img = _imread(os.path.join(self.img_dir, img_id))
         if img is None:
             return None
-        img = transforms.reference_transform(img, rng, self.img_size, train=train)
+        img = transforms.reference_transform(img, rng, self.img_size,
+                                             train=train, raw=self.compact)
         ids, mask, segments = tok
+        if self.compact:
+            if self._narrow_ids:
+                ids = ids.astype(np.uint16)
+            mask = mask.astype(np.uint8)
+            segments = segments.astype(np.uint8)
         return {
             "image": img[..., None],
             "txt_ids": ids,
@@ -137,12 +156,13 @@ class CXRImageDiseaseDataset:
 
     def __init__(self, img_dir: str, dataset_metadata: str, disease: str,
                  disease_stats: str, img_size: int = 256,
-                 data_key: str = "mimic_id"):
+                 data_key: str = "mimic_id", compact: bool = False):
         pos, neg = read_disease_stats(disease_stats, disease)
         pos_set, neg_set = set(pos), set(neg)
         self.img_dir = img_dir
         self.img_size = img_size
         self.data_key = data_key
+        self.compact = compact
         self.rows: List[Dict[str, str]] = []
         self.labels: List[int] = []
         cap = len(pos) + len(neg)
@@ -166,7 +186,8 @@ class CXRImageDiseaseDataset:
         img = _imread(os.path.join(self.img_dir, img_id))
         if img is None:
             return None
-        img = transforms.reference_transform(img, rng, self.img_size, train=train)
+        img = transforms.reference_transform(img, rng, self.img_size,
+                                             train=train, raw=self.compact)
         return {"image": img[..., None], "label": np.float32(self.labels[idx])}
 
 

@@ -119,12 +119,20 @@ def max_normalize(img: np.ndarray) -> np.ndarray:
 
 def reference_transform(img: np.ndarray, rng: Optional[np.random.Generator],
                         img_size: int,
-                        train: bool = True) -> np.ndarray:
+                        train: bool = True, raw: bool = False) -> np.ndarray:
     """The full reference augmentation chain on one grayscale image array.
 
     Returns (img_size, img_size) float32 in [0, 1].  With ``train=False``
     (or rng None) the affine is skipped and only CenterCrop+normalize run —
     the deterministic eval path.
+
+    ``raw=True`` (compact transfer): return the affined/cropped integer
+    image in the SOURCE dtype (uint8/uint16) and skip normalization — the
+    jitted step performs the identical float32 cast + max-normalize on
+    device (ops/image_norm.py device_normalize), halving/quartering the
+    host->device image bytes.  Sources in other dtypes fall back to the
+    normalized float path (corpora are homogeneous in bit depth, so a run
+    never mixes the two).
     """
     from . import native_ops
 
@@ -137,15 +145,27 @@ def reference_transform(img: np.ndarray, rng: Optional[np.random.Generator],
         angle, tx, ty = sample_affine_params(rng, w, h)
         if img.dtype in (np.uint8, np.uint16):
             m = _inverse_affine_matrix((w * 0.5, h * 0.5), angle, (tx, ty))
+            if raw:
+                out = native_ops.affine_crop_raw(img, m, top, left, img_size)
+                if out is None:  # native lib unavailable — numpy raw path
+                    out = affine_crop(img, angle, tx, ty, img_size)
+                return out
             out = native_ops.affine_crop_norm(img, m, top, left, img_size)
             if out is not None:
                 return out
         return max_normalize(affine_crop(img.astype(np.int16), angle, tx, ty,
                                          img_size))
-    if img.dtype in (np.uint8, np.uint16) and h >= img_size and w >= img_size:
-        out = native_ops.center_crop_norm(img, top, left, img_size)
-        if out is not None:
+    if img.dtype in (np.uint8, np.uint16):
+        if raw:
+            out = native_ops.center_crop_raw(img, top, left, img_size) \
+                if (h >= img_size and w >= img_size) else None
+            if out is None:
+                out = center_crop(img, img_size)
             return out
+        if h >= img_size and w >= img_size:
+            out = native_ops.center_crop_norm(img, top, left, img_size)
+            if out is not None:
+                return out
     return max_normalize(center_crop(img.astype(np.int16), img_size))
 
 

@@ -58,8 +58,10 @@ class InferenceSession:
             self.clf_params = ckpt.mlp_params_from_state_dict(
                 ckpt.load_state_dict_bin(clf_path))
 
+        from mimm_tpu.ops.image_norm import device_normalize
         self._embed_images = jax.jit(
-            lambda imgs: self.image_model.apply(self.image_vars, imgs,
+            lambda imgs: self.image_model.apply(self.image_vars,
+                                                device_normalize(imgs),
                                                 train=False)[1])
         if self.text_model is not None:
             self._embed_texts = jax.jit(
@@ -70,7 +72,8 @@ class InferenceSession:
             self._classify = jax.jit(
                 lambda imgs: self.classifier.apply(
                     self.clf_params,
-                    self.image_model.apply(self.image_vars, imgs,
+                    self.image_model.apply(self.image_vars,
+                                           device_normalize(imgs),
                                            train=False)[1])[:, 0])
 
     def _pad(self, x: np.ndarray):

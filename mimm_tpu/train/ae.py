@@ -29,6 +29,7 @@ import optax
 from mimm_tpu import checkpoint as ckpt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
 from mimm_tpu.models.autoencoder import ResNetAE
+from mimm_tpu.ops.image_norm import device_normalize
 from mimm_tpu.parallel import mesh as mesh_lib
 from mimm_tpu.train.optim import adam_torch
 
@@ -61,6 +62,10 @@ def create_ae_state(model: ResNetAE, cfg, rng) -> AETrainState:
 def make_ae_train_step(model: ResNetAE, tx):
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: AETrainState, images: jax.Array):
+        # compact-transfer batches arrive as integer crops; the identical
+        # f32 cast + max-normalize runs on device (ops/image_norm.py)
+        images = device_normalize(images)
+
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -93,7 +98,9 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
     if dataset is None:
         dataset = CXRImageDataset(cfg.image_dir, cfg.dataset_metadata,
-                                  img_size=cfg.img_size)
+                                  img_size=cfg.img_size,
+                                  compact=getattr(cfg, "compact_transfer",
+                                                  False))
     loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                     num_workers=min(8, cfg.data_loader_workers))
     logger.info("Total number of training images %d", len(dataset))
@@ -126,8 +133,11 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
             if step_losses else 0.0
         training_loss.append(epoch_loss)
 
-        path = save_ae_checkpoint(cfg.save_directory, state, epoch + 1,
-                                  export_torch_bins=export_torch_bins)
+        every = max(1, int(getattr(cfg, "checkpoint_every_epochs", 1)))
+        path = None
+        if (epoch + 1) % every == 0 or epoch + 1 == num_epochs:
+            path = save_ae_checkpoint(cfg.save_directory, state, epoch + 1,
+                                      export_torch_bins=export_torch_bins)
         writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
         if loader.skipped:
             writer.write(epoch=epoch + 1, skipped_records=loader.skipped)

@@ -39,6 +39,7 @@ import optax
 from mimm_tpu import checkpoint as ckpt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
 from mimm_tpu.models.mlp import BasicMLP
+from mimm_tpu.ops.image_norm import device_normalize
 from mimm_tpu.train.optim import (adam_torch, exponential_epoch_schedule,
                                   sgd_torch)
 
@@ -57,24 +58,27 @@ def make_embedding_fn(kind: str, model, variables) -> Callable:
     if kind == "multimodal":
         @jax.jit
         def embed(images):
-            outs = model.apply(variables, images, train=False)
+            outs = model.apply(variables, device_normalize(images),
+                               train=False)
             return outs[1]
     elif kind == "unimodal":
         from mimm_tpu.models.autoencoder import ResNetAE
 
         @jax.jit
         def embed(images):
-            return model.apply(variables, images, train=False,
-                               method=ResNetAE.encode)
+            return model.apply(variables, device_normalize(images),
+                               train=False, method=ResNetAE.encode)
     else:
         raise ValueError(f"unknown encoder kind: {kind}")
     return embed
 
 
-def make_classifier_step(mlp: BasicMLP, tx, seed: int):
+def make_classifier_step(mlp: BasicMLP, tx, seed: int,
+                         rng_impl: str = "threefry2x32"):
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: ClassifierTrainState, emb, labels):
-        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        rng = jax.random.fold_in(jax.random.key(seed, impl=rng_impl),
+                                 state.step)
 
         def loss_fn(params):
             p = mlp.apply(params, emb, train=True, dropout_rng=rng)[:, 0]
@@ -132,7 +136,8 @@ class ClassifierModelManager:
             dataset = CXRImageDiseaseDataset(
                 img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
                 disease=cfg.disease_label, disease_stats=cfg.dataset_disease_stats,
-                img_size=cfg.img_size)
+                img_size=cfg.img_size,
+                compact=getattr(cfg, "compact_transfer", False))
         n = len(dataset)
         order = np.random.default_rng(cfg.seed).permutation(n)
         n_val = max(1, int(round(n * val_fraction)))
@@ -157,7 +162,9 @@ class ClassifierModelManager:
         params = self.mlp.init(jax.random.PRNGKey(cfg.seed))
         state = ClassifierTrainState(params, tx.init(params),
                                      jnp.zeros([], jnp.int32))
-        step_fn = make_classifier_step(self.mlp, tx, cfg.seed)
+        step_fn = make_classifier_step(self.mlp, tx, cfg.seed,
+                                       rng_impl=getattr(cfg, "rng_impl",
+                                                        "threefry2x32"))
 
         tr_losses, tr_accs, va_losses, va_accs = [], [], [], []
         max_accuracy = 0.0

@@ -46,6 +46,7 @@ from mimm_tpu.models.joint import ImageReportModel
 from mimm_tpu.models.mlp import make_mlp
 from mimm_tpu.objectives import critics as critics_lib
 from mimm_tpu.objectives.pairing import pairwise_critic_scores
+from mimm_tpu.ops.image_norm import decompact_batch
 from mimm_tpu.parallel import mesh as mesh_lib
 from mimm_tpu.train.optim import (adam_torch, adamw_hf, bert_decay_mask,
                                   bert_trainable_mask, freeze,
@@ -181,6 +182,9 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         raise ValueError(f"unknown mi estimator: {estimator}")
 
     def mi_loss(joint_params, critic_params, batch_stats, batch, dropout_rng):
+        # compact-transfer batches arrive as integer crops + narrow token
+        # dtypes; widen/normalize on device (exact — ops/image_norm.py)
+        batch = decompact_batch(batch)
         outputs, mutated = model.apply(
             {"params": joint_params, "batch_stats": batch_stats},
             batch["image"], batch["txt_ids"], batch["txt_masks"],
@@ -201,7 +205,9 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         return loss, mutated["batch_stats"]
 
     def step_body(state: MITrainState, batch):
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+        base_key = jax.random.key(cfg.seed,
+                                  impl=getattr(cfg, "rng_impl", "threefry2x32"))
+        dropout_rng = jax.random.fold_in(base_key, state.step)
         (loss, new_bs), grads = jax.value_and_grad(mi_loss, argnums=(0, 1),
                                                    has_aux=True)(
             state.params, state.critic_params, state.batch_stats, batch,
@@ -310,7 +316,8 @@ class MultiModalManager:
         if dataset is None:
             dataset = CXRImageReportDataset(
                 token_features, cfg.image_dir, cfg.dataset_metadata,
-                img_size=cfg.img_size)
+                img_size=cfg.img_size,
+                compact=getattr(cfg, "compact_transfer", False))
         buckets = list(getattr(cfg, "seq_buckets", ()) or ()) or None
         loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                         bucket_lengths=buckets,
@@ -372,9 +379,12 @@ class MultiModalManager:
                 if step_losses else 0.0
             training_loss.append(epoch_loss)
 
-            path = save_mi_checkpoints(cfg.save_directory, state, epoch + 1,
-                                       self.bert_config,
-                                       export_torch_bins=export_torch_bins)
+            every = max(1, int(getattr(cfg, "checkpoint_every_epochs", 1)))
+            path = None
+            if (epoch + 1) % every == 0 or epoch + 1 == num_epochs:
+                path = save_mi_checkpoints(cfg.save_directory, state, epoch + 1,
+                                           self.bert_config,
+                                           export_torch_bins=export_torch_bins)
             writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
             if loader.skipped:
                 writer.write(epoch=epoch + 1, skipped_records=loader.skipped)

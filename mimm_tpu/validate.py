@@ -22,6 +22,7 @@ import numpy as np
 
 from mimm_tpu import checkpoint as ckpt
 from mimm_tpu.metrics import gdv_calculation
+from mimm_tpu.ops.image_norm import device_normalize
 from mimm_tpu.models.mlp import BasicMLP
 from mimm_tpu.models.resnet import ResNet256_6_2_1
 
@@ -50,7 +51,8 @@ def _make_loader(cfg, disease: str, dataset=None):
         dataset = CXRImageDiseaseDataset(
             img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
             disease=disease, disease_stats=cfg.dataset_disease_stats,
-            img_size=cfg.img_size)
+            img_size=cfg.img_size,
+            compact=getattr(cfg, "compact_transfer", False))
     return Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                   train=False, drop_last=False)
 
@@ -103,7 +105,8 @@ def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
 
     @jax.jit
     def forward(images):
-        outs = image_model.apply(img_vars, images, train=False)
+        outs = image_model.apply(img_vars, device_normalize(images),
+                                 train=False)
         emb = outs[1]
         return emb, clf.apply(clf_params, emb)[:, 0]
 
@@ -146,7 +149,8 @@ def validate_UniModal(cfg, mlp_layer: List[int], disease: str,
 
     @jax.jit
     def forward(images):
-        emb = ae.apply(ae_vars, images, train=False, method=ResNetAE.encode)
+        emb = ae.apply(ae_vars, device_normalize(images), train=False,
+                       method=ResNetAE.encode)
         return emb, clf.apply(clf_params, emb)[:, 0]
 
     return _run_validation(forward, loader)

@@ -73,6 +73,50 @@ void affine_crop_norm_u16(const uint16_t* img, int64_t h, int64_t w,
 
 }  // extern "C"
 
+// Raw (un-normalized, source-dtype) affine-crop variants for the compact
+// host->device transfer path: the loader ships the integer crop (1-2 bytes
+// per pixel instead of a 4-byte float) and the jitted train step performs
+// the identical float32 cast + max-normalize on device
+// (mimm_tpu/ops/image_norm.py) — bit-exact with the fused variants above,
+// at half/quarter the PCIe (or tunnel) traffic.
+template <typename T>
+static void affine_crop_raw_impl(const T* img, int64_t h, int64_t w,
+                                 const double* m, int64_t top, int64_t left,
+                                 int64_t out_size, T* out) {
+  for (int64_t oy = 0; oy < out_size; ++oy) {
+    const double fy = static_cast<double>(oy + top) + 0.5;
+    const double base_x = m[1] * fy + m[2];
+    const double base_y = m[4] * fy + m[5];
+    T* row = out + oy * out_size;
+    for (int64_t ox = 0; ox < out_size; ++ox) {
+      const double fx = static_cast<double>(ox + left) + 0.5;
+      const int64_t sx = static_cast<int64_t>(std::floor(m[0] * fx + base_x));
+      const int64_t sy = static_cast<int64_t>(std::floor(m[3] * fx + base_y));
+      T v = 0;
+      if (sx >= 0 && sx < w && sy >= 0 && sy < h) {
+        v = img[sy * w + sx];
+      }
+      row[ox] = v;
+    }
+  }
+}
+
+extern "C" {
+
+void affine_crop_raw_u8(const uint8_t* img, int64_t h, int64_t w,
+                        const double* matrix, int64_t top, int64_t left,
+                        int64_t out_size, uint8_t* out) {
+  affine_crop_raw_impl(img, h, w, matrix, top, left, out_size, out);
+}
+
+void affine_crop_raw_u16(const uint16_t* img, int64_t h, int64_t w,
+                         const double* matrix, int64_t top, int64_t left,
+                         int64_t out_size, uint16_t* out) {
+  affine_crop_raw_impl(img, h, w, matrix, top, left, out_size, out);
+}
+
+}  // extern "C"
+
 // Plain center-crop (+ zero pad) + normalize — the eval path.
 template <typename T>
 static void center_crop_impl(const T* img, int64_t h, int64_t w,
@@ -107,6 +151,41 @@ void center_crop_norm_u16(const uint16_t* img, int64_t h, int64_t w,
                           int64_t top, int64_t left, int64_t out_size,
                           float* out) {
   center_crop_impl(img, h, w, top, left, out_size, out);
+}
+
+}  // extern "C"
+
+// Raw center-crop (eval-path counterpart of affine_crop_raw_*).
+template <typename T>
+static void center_crop_raw_impl(const T* img, int64_t h, int64_t w,
+                                 int64_t top, int64_t left, int64_t out_size,
+                                 T* out) {
+  for (int64_t oy = 0; oy < out_size; ++oy) {
+    const int64_t sy = oy + top;
+    T* row = out + oy * out_size;
+    for (int64_t ox = 0; ox < out_size; ++ox) {
+      const int64_t sx = ox + left;
+      T v = 0;
+      if (sx >= 0 && sx < w && sy >= 0 && sy < h) {
+        v = img[sy * w + sx];
+      }
+      row[ox] = v;
+    }
+  }
+}
+
+extern "C" {
+
+void center_crop_raw_u8(const uint8_t* img, int64_t h, int64_t w,
+                        int64_t top, int64_t left, int64_t out_size,
+                        uint8_t* out) {
+  center_crop_raw_impl(img, h, w, top, left, out_size, out);
+}
+
+void center_crop_raw_u16(const uint16_t* img, int64_t h, int64_t w,
+                         int64_t top, int64_t left, int64_t out_size,
+                         uint16_t* out) {
+  center_crop_raw_impl(img, h, w, top, left, out_size, out);
 }
 
 }  // extern "C"

@@ -1,0 +1,73 @@
+"""HTTP serving entry point (cli/serve.py): endpoint contracts over a live
+ThreadingHTTPServer with a real InferenceSession behind it."""
+
+import io
+import json
+import sys
+import os
+import threading
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "cli"))
+
+from tests.test_serve import _make_artifacts  # noqa: E402
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+def test_http_server_endpoints(tmp_path):
+    import serve as serve_cli
+
+    _make_artifacts(tmp_path)
+    server = serve_cli.build_server(str(tmp_path), port=0, batch_size=4,
+                                    disease="Pneumonia",
+                                    classifier_layers=[16])
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read().decode())
+        assert health["status"] == "ok" and health["classifier"] is True
+
+        rng = np.random.default_rng(0)
+        # npy body, integer images (server normalizes on device like training)
+        imgs = rng.integers(0, 255, (3, 256, 256)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        code, out = _post(base + "/embed_images", buf.getvalue(),
+                          "application/x-npy")
+        assert code == 200
+        emb = np.asarray(out["embeddings"])
+        assert emb.shape == (3, 768) and np.isfinite(emb).all()
+
+        # JSON body classify
+        small = rng.random((2, 256, 256)).astype(np.float32)
+        code, out = _post(base + "/classify",
+                          json.dumps({"images": small.tolist()}).encode(),
+                          "application/json")
+        assert code == 200
+        probs = np.asarray(out["probabilities"])
+        assert probs.shape == (2,) and ((probs > 0) & (probs < 1)).all()
+
+        # malformed payload -> 400 with an error message
+        code, out = _post(base + "/embed_images", b"not npy",
+                          "application/json")
+        assert code == 400 and "error" in out
+
+        code, out = _post(base + "/nope", b"{}", "application/json")
+        assert code == 404
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -97,9 +97,10 @@ def test_local_negatives_block_mode():
     step_local = make_mi_train_step(model, txs, cfg, data_shards=4)
     _, loss_local = step_local(s4, b4)
 
-    # expected: same forward (same fold_in(seed, step=0) dropout stream),
-    # then DV per contiguous block of 2, averaged
-    rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0)
+    # expected: same forward (same fold_in(seed, step=0) dropout stream —
+    # typed key with the step's cfg.rng_impl), then DV per contiguous
+    # block of 2, averaged
+    rng = jax.random.fold_in(jax.random.key(cfg.seed, impl=cfg.rng_impl), 0)
     outputs, _ = model.apply(
         {"params": params0, "batch_stats": bs0},
         batch["image"], batch["txt_ids"], batch["txt_masks"],

@@ -296,3 +296,21 @@ def test_scan_chunks_groups_by_bucket():
     assert singles[0]["txt_ids"].shape == (4, 16)
     # k=1 passes through untouched
     assert list(scan_chunks(iter(stream), 1)) == stream
+
+
+def test_checkpoint_every_epochs_cadence(cfg):
+    """cfg.checkpoint_every_epochs=N writes every Nth epoch, plus always
+    the final one (the .bin export is the expensive host-side part of an
+    epoch; production runs dial the cadence down)."""
+    from mimm_tpu.train.ae import train_auto_encoder
+
+    ds = FakeImageDataset(n=8, size=64)
+    c = cfg.replace(checkpoint_every_epochs=2, num_train_epochs=3)
+    train_auto_encoder(c, dataset=ds, num_epochs=3, mesh=small_mesh())
+
+    d = c.save_directory
+    assert not os.path.exists(os.path.join(d, "ae_epoch1.ckpt"))
+    assert os.path.exists(os.path.join(d, "ae_epoch2.ckpt"))
+    assert os.path.exists(os.path.join(d, "ae_epoch3.ckpt"))  # final always
+    assert not os.path.exists(os.path.join(d, "autoencoder_path_1.bin"))
+    assert os.path.exists(os.path.join(d, "autoencoder_path_2.bin"))
