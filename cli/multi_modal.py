@@ -18,8 +18,11 @@ from mimm_tpu.config import TrainingConfig, construct_training_parameters
 def train_mutual_information(cfg: TrainingConfig):
     from mimm_tpu.data.features import load_and_cache_examples
     from mimm_tpu.data.tokenizer import WordPieceTokenizer
+    from mimm_tpu.parallel import mesh as mesh_lib
     from mimm_tpu.train.mi import MultiModalManager
 
+    # multi-host pods: no-op unless a coordinator is configured
+    mesh_lib.initialize_distributed()
     os.makedirs(cfg.save_directory, exist_ok=True)
     logging.basicConfig(
         filename=os.path.join(cfg.save_directory, "training_MI.log"),
@@ -50,6 +53,10 @@ def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
     return manager.train()
 
 
-if __name__ == "__main__":
+def main():
     cfg = construct_training_parameters()
     train_mutual_information(cfg)
+
+
+if __name__ == "__main__":
+    main()

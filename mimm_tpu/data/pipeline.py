@@ -214,7 +214,18 @@ class Loader:
                  shuffle: bool = True, drop_last: bool = True,
                  train: bool = True, prefetch_batches: int = 2,
                  bucket_lengths: Optional[Sequence[int]] = None,
-                 num_workers: int = 0):
+                 num_workers: int = 0,
+                 process_count: int = 1, process_index: int = 0):
+        """``process_count``/``process_index`` (multi-host input sharding):
+        every process computes the IDENTICAL global shuffle + batch/bucket
+        composition from (seed, epoch) metadata, then decodes only its
+        ``batch_size/process_count`` slice of each global batch — yielded
+        batches are the local slices ``parallel.mesh.put_global`` assembles
+        into global arrays.  Composition is pure index metadata, so hosts
+        can never diverge; an unreadable record is therefore SUBSTITUTED
+        (zeros of the first successfully decoded sample's shapes, counted
+        in ``skipped``) instead of single-host skip-and-refill, which
+        would shift this host's every later batch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -223,18 +234,30 @@ class Loader:
         self.train = train
         self.prefetch_batches = prefetch_batches
         self.bucket_lengths = sorted(bucket_lengths) if bucket_lengths else None
+        if batch_size % process_count:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} out of range")
+        self.process_count = process_count
+        self.process_index = process_index
+        self._template = None  # substitution template (multi-process mode)
         # reference DataLoader(num_workers=32) parity (helpers.py:113-114):
         # a thread pool decodes samples concurrently (cv2 + the native C++
         # transform release the GIL, so threads scale across cores) while
         # results are consumed in submission order — batch composition stays
-        # bit-deterministic regardless of worker count.
-        self.num_workers = num_workers
+        # bit-deterministic regardless of worker count.  Capped at
+        # cpu_count-1: without spare cores the per-sample future handoff is
+        # pure overhead (measured 3-4x slower on a 1-core host).
+        self.num_workers = max(0, min(num_workers, (os.cpu_count() or 1) - 1))
         self.skipped = 0
         self._batches_per_epoch: Optional[int] = None
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # multi-host slicing only yields full (sliceable) batches
+        drop = self.drop_last or self.process_count > 1
+        return n // self.batch_size if drop else -(-n // self.batch_size)
 
     def batches_per_epoch(self) -> int:
         """Exact number of batches yielded per epoch (modulo skipped bad
@@ -248,7 +271,7 @@ class Loader:
             counts = {b: 0 for b in self.bucket_lengths}
             for idx in range(len(self.dataset)):
                 counts[self._bucket_of(idx)] += 1
-            if self.drop_last:
+            if self.drop_last or self.process_count > 1:
                 total = sum(c // self.batch_size for c in counts.values())
             else:
                 total = sum(-(-c // self.batch_size) for c in counts.values())
@@ -303,6 +326,84 @@ class Loader:
                     idx, f = pending.popleft()
                     yield idx, f.result()
 
+        def index_batches():
+            """Global batch composition from index metadata only (identical
+            on every host for a given (seed, epoch))."""
+            if self.bucket_lengths is None:
+                group: List[int] = []
+                for idx in order:
+                    group.append(int(idx))
+                    if len(group) == self.batch_size:
+                        yield None, group
+                        group = []
+                if group and not self.drop_last:
+                    yield None, group
+                return
+            buckets: Dict[int, List[int]] = {b: [] for b in self.bucket_lengths}
+            for idx in order:
+                b = self._bucket_of(int(idx))
+                buckets[b].append(int(idx))
+                if len(buckets[b]) == self.batch_size:
+                    yield b, buckets[b]
+                    buckets[b] = []
+            if not self.drop_last:
+                for b, group in buckets.items():
+                    if group:
+                        yield b, group
+
+        def load_or_substitute(idx: int):
+            s = self.dataset.load(idx, sample_rng(idx), train=self.train)
+            if s is None:
+                self.skipped += 1
+                logger.warning("substituting zeros for unreadable record %d "
+                               "(multi-host mode keeps batch composition "
+                               "identical across hosts)", idx)
+                if self._template is None:
+                    # first decode on this process failed: probe other
+                    # records for shapes/dtypes (the template is only
+                    # zeros_like'd, so any readable record works)
+                    for probe in range(len(self.dataset)):
+                        if probe == idx:
+                            continue
+                        t = self.dataset.load(probe, sample_rng(probe),
+                                              train=self.train)
+                        if t is not None:
+                            self._template = t
+                            break
+                    else:
+                        raise RuntimeError(
+                            "no readable record in the whole dataset; "
+                            "run tools/corpus_check.py")
+                s = {k: np.zeros_like(v) for k, v in self._template.items()}
+            elif self._template is None:
+                self._template = s
+            return s
+
+        def producer_sliced(out_q: queue.Queue):
+            """Multi-host producer: decode only this process's slice of
+            each globally-composed batch."""
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers)) \
+                if self.num_workers > 0 else None
+            try:
+                for seq_len, group in index_batches():
+                    if len(group) != self.batch_size:
+                        continue  # partial trailing batch: not sliceable
+                    mine = group[lo:lo + local]
+                    if pool is not None and self._template is not None:
+                        samples = list(pool.map(load_or_substitute, mine))
+                    else:  # first batch decodes serially to seed the template
+                        samples = [load_or_substitute(i) for i in mine]
+                    out_q.put(_stack(samples, seq_len=seq_len))
+            except Exception as e:  # surface in the consumer, not the thread
+                out_q.put(e)
+            finally:
+                if pool is not None:
+                    pool.shutdown()
+                out_q.put(None)
+
         def producer(out_q: queue.Queue):
             if self.bucket_lengths is None:
                 batch: List[Dict[str, np.ndarray]] = []
@@ -342,12 +443,15 @@ class Loader:
             out_q.put(None)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
-        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        target = producer_sliced if self.process_count > 1 else producer
+        t = threading.Thread(target=target, args=(q,), daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, Exception):
+                raise item
             yield item
 
 
@@ -399,18 +503,29 @@ def device_prefetch(batches: Iterator[Dict], size: int = 2,
     With ``sharding`` (a NamedSharding, or a callable batch -> sharding
     for streams mixing stacked scan chunks with single batches), batches
     land pre-sharded across the mesh so the train step does no layout
-    changes."""
+    changes.
+
+    Transfers are issued INLINE on the consuming thread, ``size`` batches
+    ahead of consumption.  A dedicated transfer thread was tried and
+    measured 2.3x SLOWER end-to-end on the 1-core dev box (43.4 s vs
+    19.0 s Manager epoch — GIL convoying between the loader thread, the
+    transfer thread and step dispatch); do not reintroduce one without a
+    multi-core measurement."""
     import collections
     import jax
 
     buf = collections.deque()
 
     def put(b):
-        if callable(sharding) and not isinstance(sharding, jax.sharding.Sharding):
-            return jax.device_put(b, sharding(b))
-        if sharding is not None:
-            return jax.device_put(b, sharding)
-        return jax.device_put(b)
+        sh = sharding(b) if callable(sharding) and \
+            not isinstance(sharding, jax.sharding.Sharding) else sharding
+        if sh is None:
+            return jax.device_put(b)
+        if jax.process_count() > 1:
+            # multi-host: b is this process's slice of the global batch
+            from mimm_tpu.parallel.mesh import put_global
+            return put_global(b, sh)
+        return jax.device_put(b, sh)
 
     it = iter(batches)
     try:

@@ -22,6 +22,43 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host bootstrap — the `jax.distributed.initialize` + mesh-over-
+    ICI/DCN seam SURVEY.md §5/§7 calls for (the reference is single-device;
+    this is a new capability).
+
+    On TPU pods ``jax.distributed.initialize()`` auto-discovers the
+    coordinator, process count and id from the TPU metadata, so providing
+    no arguments is the normal pod path.  Explicit args (or the
+    ``MIMM_COORDINATOR_ADDRESS`` / ``MIMM_NUM_PROCESSES`` /
+    ``MIMM_PROCESS_ID`` env vars) support CPU/GPU fleets.
+
+    Returns True when the distributed runtime is (or already was)
+    initialized; False for a plain single-process run — development,
+    tests, and the single-chip driver all take that no-op path.
+    After a successful init, ``jax.devices()`` is the GLOBAL device list
+    and ``make_mesh`` builds pod-wide meshes from it unchanged.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # launcher already initialized the runtime
+    coordinator_address = coordinator_address or \
+        os.environ.get("MIMM_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("MIMM_NUM_PROCESSES"):
+        num_processes = int(os.environ["MIMM_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("MIMM_PROCESS_ID"):
+        process_id = int(os.environ["MIMM_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # nothing indicates a multi-process run
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
               devices=None) -> Mesh:
     """Build a mesh.  Default: all local devices on the 'data' axis.
@@ -67,13 +104,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(batch, sharding: NamedSharding):
+    """Materialize a (possibly multi-host) on-device batch.
+
+    Single-process: a plain ``device_put``.  Multi-process (after
+    ``initialize_distributed``): every process holds only ITS slice of the
+    global batch (the Loader's ``process_count``/``process_index`` slicing)
+    and ``jax.make_array_from_process_local_data`` assembles the global
+    jax.Array without any cross-host transfer — each host's slice lands on
+    its own addressable devices per ``sharding``."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
+
+
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
-    """device_put a host batch with the leading dim sharded over 'data'."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Put a host batch on device with the leading dim sharded over 'data'."""
+    return put_global(batch, batch_sharding(mesh))
 
 
 def replicate(mesh: Mesh, tree):
-    return jax.device_put(tree, replicated(mesh))
+    return put_global(tree, replicated(mesh))
 
 
 def bert_tp_shardings(mesh: Mesh, text_params):

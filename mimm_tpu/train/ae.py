@@ -102,7 +102,9 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                                   compact=getattr(cfg, "compact_transfer",
                                                   False))
     loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
-                    num_workers=min(8, cfg.data_loader_workers))
+                    num_workers=min(8, cfg.data_loader_workers),
+                    process_count=jax.process_count(),
+                    process_index=jax.process_index())
     logger.info("Total number of training images %d", len(dataset))
 
     model = build_ae_model(cfg)

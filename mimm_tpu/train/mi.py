@@ -321,7 +321,11 @@ class MultiModalManager:
         buckets = list(getattr(cfg, "seq_buckets", ()) or ()) or None
         loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                         bucket_lengths=buckets,
-                        num_workers=min(8, cfg.data_loader_workers))
+                        num_workers=min(8, cfg.data_loader_workers),
+                        # multi-host (after mesh.initialize_distributed):
+                        # each process decodes its slice of the global batch
+                        process_count=jax.process_count(),
+                        process_index=jax.process_index())
         logger.info("Total number of training image-report pairs: %d", len(dataset))
 
         # True batches/epoch: under bucketing each bucket drops its own

@@ -241,7 +241,11 @@ def test_loader_workers_deterministic(tmp_path):
     img_dir, meta = _write_mini_dataset(tmp_path, n=10, broken=1)
     ds = CXRImageDataset(img_dir, meta, img_size=32)
     serial = list(Loader(ds, batch_size=2, seed=3).epoch(0))
-    pooled = list(Loader(ds, batch_size=2, seed=3, num_workers=4).epoch(0))
+    pooled_loader = Loader(ds, batch_size=2, seed=3, num_workers=4)
+    # the constructor caps workers at cpu_count-1 (0 on a 1-core CI box);
+    # force the pool on so this test always exercises the threaded path
+    pooled_loader.num_workers = 4
+    pooled = list(pooled_loader.epoch(0))
     assert len(serial) == len(pooled)
     for a, b in zip(serial, pooled):
         np.testing.assert_array_equal(a["image"], b["image"])
