@@ -83,7 +83,7 @@ def train_Classifier(base_cfg, isMultiModal: bool):
                     train_image_classifier(cfg, embed, layers)
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--stage", default="classifier_um",
                         choices=["mi", "ae", "classifier_mm", "classifier_um"])
@@ -97,3 +97,7 @@ if __name__ == "__main__":
         train_Classifier(cfg, isMultiModal=True)
     else:
         train_Classifier(cfg, isMultiModal=False)
+
+
+if __name__ == "__main__":
+    main()

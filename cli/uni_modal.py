@@ -13,5 +13,9 @@ def train_auto_encoder(cfg):
     return _train(cfg)
 
 
-if __name__ == "__main__":
+def main():
     train_auto_encoder(construct_training_parameters())
+
+
+if __name__ == "__main__":
+    main()
