@@ -44,10 +44,20 @@ import numpy as np
 CKPT_FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, tree: Any) -> str:
-    """Serialize a pytree (params/opt_state/step/...) to ``path`` as a
-    versioned pickle envelope of host numpy arrays."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+def save_checkpoint(path: str, tree: Any, format: str = "pickle") -> str:
+    """Serialize a pytree (params/opt_state/step/...) to ``path``.
+
+    ``format="pickle"`` (default): a versioned pickle envelope of host
+    numpy arrays — one file, single-host.  ``format="orbax"``: an orbax
+    directory checkpoint where EVERY process writes its own addressable
+    shards — the only correct option for multi-host sharded state, since
+    pickling would require gathering the full tree onto one host (which
+    does not address all shards of a pod-sharded array).  Multi-process
+    runs force orbax regardless of ``format``."""
+    path = os.path.abspath(path)
+    if format == "orbax" or jax.process_count() > 1:
+        return _save_orbax(path, tree)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     host_tree = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
     with open(path, "wb") as f:
         pickle.dump({"__mimm_ckpt__": CKPT_FORMAT_VERSION, "tree": host_tree},
@@ -55,7 +65,30 @@ def save_checkpoint(path: str, tree: Any) -> str:
     return path
 
 
-def load_checkpoint(path: str) -> Any:
+def _save_orbax(path: str, tree: Any) -> str:
+    import orbax.checkpoint as ocp
+    import shutil
+    if os.path.isdir(path):  # orbax refuses to overwrite; match pickle
+        shutil.rmtree(path)  # semantics (per-epoch re-save, resume re-run)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Load a checkpoint saved by ``save_checkpoint`` — format is detected
+    (orbax checkpoints are directories, pickle envelopes are files).
+
+    ``target`` (orbax only): a pytree of ``jax.ShapeDtypeStruct`` with
+    shardings — arrays are then restored DIRECTLY onto their devices,
+    each process reading only its shards (pod-correct resume).  Without
+    ``target`` arrays restore as host numpy, like the pickle path."""
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, target)
     with open(path, "rb") as f:
         obj = pickle.load(f)
     if isinstance(obj, dict) and "__mimm_ckpt__" in obj:

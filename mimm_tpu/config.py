@@ -184,6 +184,10 @@ class TrainingConfig:
     # which reorders batches WITHIN an epoch (equivalent to a different
     # shuffle; every batch is still consumed exactly once).
     scan_steps: int = 1
+    # Native checkpoint serialization: "pickle" (single file, one host) or
+    # "orbax" (directory; every process writes its own shards — required
+    # and auto-forced for multi-host runs; see checkpoint.save_checkpoint).
+    checkpoint_format: str = "pickle"
 
     def replace(self, **kw) -> "TrainingConfig":
         return dataclasses.replace(self, **kw)

@@ -109,13 +109,15 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
     model = build_ae_model(cfg)
     start_epoch = 0
+    # template first: orbax checkpoints need a structured target to restore
+    # optax namedtuple states with their types (checkpoint.load_checkpoint)
+    state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
     if resume_from is not None:
-        state = AETrainState(**ckpt.load_checkpoint(resume_from))
+        state = AETrainState(**ckpt.load_checkpoint(resume_from,
+                                                    target=state._asdict()))
         start_epoch = int(state.step) // max(1, len(loader))
         logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
                     int(state.step), start_epoch)
-    else:
-        state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
     state = mesh_lib.replicate(mesh, state)
     tx = adam_torch(cfg.init_lr)
     train_step = make_ae_train_step(model, tx)
@@ -139,7 +141,9 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
         path = None
         if (epoch + 1) % every == 0 or epoch + 1 == num_epochs:
             path = save_ae_checkpoint(cfg.save_directory, state, epoch + 1,
-                                      export_torch_bins=export_torch_bins)
+                                      export_torch_bins=export_torch_bins,
+                                      ckpt_format=getattr(
+                                          cfg, "checkpoint_format", "pickle"))
         writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
         if loader.skipped:
             writer.write(epoch=epoch + 1, skipped_records=loader.skipped)
@@ -152,11 +156,12 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
 
 def save_ae_checkpoint(save_dir: str, state: AETrainState, epoch: int,
-                       export_torch_bins: bool = True) -> str:
+                       export_torch_bins: bool = True,
+                       ckpt_format: str = "pickle") -> str:
     """Native resume tree + reference-named .bin exports
     (main_utils.py:683-689)."""
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"ae_epoch{epoch}.ckpt"),
-                                state._asdict())
+                                state._asdict(), format=ckpt_format)
     if export_torch_bins:
         variables = {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)}

@@ -216,7 +216,8 @@ class ClassifierModelManager:
         cfg = self.cfg
         path = ckpt.save_checkpoint(
             os.path.join(cfg.save_directory, f"classifier_{label}.ckpt"),
-            state._asdict())
+            state._asdict(),
+            format=getattr(cfg, "checkpoint_format", "pickle"))
         if export_torch_bins:
             sd = ckpt.mlp_state_dict_from_params(jax.device_get(state.params))
             ckpt.save_state_dict_bin(

@@ -240,11 +240,12 @@ def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
 
 def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
                         bert_config: BertConfig,
-                        export_torch_bins: bool = True) -> str:
+                        export_torch_bins: bool = True,
+                        ckpt_format: str = "pickle") -> str:
     """Native tree + reference .bin naming contracts (model.py:557-595)."""
     os.makedirs(save_dir, exist_ok=True)
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"mi_epoch{epoch}.ckpt"),
-                                state._asdict())
+                                state._asdict(), format=ckpt_format)
     if export_torch_bins:
         params = jax.device_get(state.params)
         bstats = jax.device_get(state.batch_stats)
@@ -334,15 +335,18 @@ class MultiModalManager:
         steps_per_epoch = max(1, loader.batches_per_epoch())
         txs = make_optimizers(cfg, steps_per_epoch=steps_per_epoch)
         start_epoch = 0
+        # template first: orbax checkpoints need a structured target to
+        # restore optax namedtuple states with their types
+        # (checkpoint.load_checkpoint)
+        state = create_mi_state(self.model, cfg, txs,
+                                jax.random.PRNGKey(cfg.seed),
+                                bert_variables=self.bert_variables)
         if resume_from is not None:
-            state = MITrainState(**ckpt.load_checkpoint(resume_from))
+            state = MITrainState(**ckpt.load_checkpoint(
+                resume_from, target=state._asdict()))
             start_epoch = int(state.step) // steps_per_epoch
             logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
                         int(state.step), start_epoch)
-        else:
-            state = create_mi_state(self.model, cfg, txs,
-                                    jax.random.PRNGKey(cfg.seed),
-                                    bert_variables=self.bert_variables)
         # replicate (pure DP) or, with a 'model' mesh axis, tensor-parallel
         # critic + Megatron-style BERT placement (parallel/mesh.py)
         state = mesh_lib.shard_mi_state(mesh, state)
@@ -388,7 +392,10 @@ class MultiModalManager:
             if (epoch + 1) % every == 0 or epoch + 1 == num_epochs:
                 path = save_mi_checkpoints(cfg.save_directory, state, epoch + 1,
                                            self.bert_config,
-                                           export_torch_bins=export_torch_bins)
+                                           export_torch_bins=export_torch_bins,
+                                           ckpt_format=getattr(
+                                               cfg, "checkpoint_format",
+                                               "pickle"))
             writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
             if loader.skipped:
                 writer.write(epoch=epoch + 1, skipped_records=loader.skipped)
