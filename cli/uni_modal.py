@@ -9,7 +9,11 @@ from mimm_tpu.config import construct_training_parameters
 
 
 def train_auto_encoder(cfg):
+    from mimm_tpu.parallel import mesh as mesh_lib
     from mimm_tpu.train.ae import train_auto_encoder as _train
+
+    # multi-host pods: no-op unless a coordinator is configured
+    mesh_lib.initialize_distributed()
     return _train(cfg)
 
 

@@ -162,6 +162,12 @@ def save_ae_checkpoint(save_dir: str, state: AETrainState, epoch: int,
     (main_utils.py:683-689)."""
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"ae_epoch{epoch}.ckpt"),
                                 state._asdict(), format=ckpt_format)
+    if export_torch_bins and jax.process_count() > 1:
+        # pod-sharded params are not fully addressable on any single host;
+        # export .bins offline from the (orbax) native checkpoint instead
+        logger.warning(".bin export skipped on multi-host runs — convert "
+                       "from %s offline", path)
+        export_torch_bins = False
     if export_torch_bins:
         variables = {"params": jax.device_get(state.params),
                      "batch_stats": jax.device_get(state.batch_stats)}

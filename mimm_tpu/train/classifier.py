@@ -218,6 +218,11 @@ class ClassifierModelManager:
             os.path.join(cfg.save_directory, f"classifier_{label}.ckpt"),
             state._asdict(),
             format=getattr(cfg, "checkpoint_format", "pickle"))
+        if export_torch_bins and jax.process_count() > 1:
+            # pod-sharded params are not fully addressable on one host
+            logger.warning(".bin export skipped on multi-host runs — "
+                           "convert from %s offline", path)
+            export_torch_bins = False
         if export_torch_bins:
             sd = ckpt.mlp_state_dict_from_params(jax.device_get(state.params))
             ckpt.save_state_dict_bin(

@@ -246,6 +246,12 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
     os.makedirs(save_dir, exist_ok=True)
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"mi_epoch{epoch}.ckpt"),
                                 state._asdict(), format=ckpt_format)
+    if export_torch_bins and jax.process_count() > 1:
+        # pod-sharded params are not fully addressable on any single host;
+        # export .bins offline from the (orbax) native checkpoint instead
+        logger.warning(".bin export skipped on multi-host runs — convert "
+                       "from %s offline", path)
+        export_torch_bins = False
     if export_torch_bins:
         params = jax.device_get(state.params)
         bstats = jax.device_get(state.batch_stats)
