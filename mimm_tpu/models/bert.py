@@ -106,6 +106,25 @@ class BertConfig:
         raw.update(overrides)
         return cls(**raw)
 
+    # standard BertConfig attributes only — the TPU execution knobs below
+    # (remat/fused_qkv/flash/gelu_tanh/...) don't belong in a config.json
+    # a pytorch_transformers consumer might read
+    _ARCH_FIELDS = ("vocab_size", "hidden_size", "num_hidden_layers",
+                    "num_attention_heads", "intermediate_size", "hidden_act",
+                    "hidden_dropout_prob", "attention_probs_dropout_prob",
+                    "max_position_embeddings", "type_vocab_size",
+                    "initializer_range", "layer_norm_eps", "num_classes")
+
+    def to_json_file(self, path: str) -> str:
+        """Write the architecture config — the counterpart of the
+        reference's ``bert_config.save_pretrained(save_directory)`` inside
+        ``ImageReportModel.save_pretrained`` (model.py:584)."""
+        with open(path, "w") as f:
+            json.dump({k: getattr(self, k) for k in self._ARCH_FIELDS},
+                      f, indent=2, sort_keys=True)
+            f.write("\n")
+        return path
+
 
 def _bert_init(stddev):
     return nn.initializers.normal(stddev=stddev)

@@ -268,6 +268,9 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
         joint.update({f"text_model.{k}": v for k, v in txt_sd.items()})
         ckpt.save_state_dict_bin(
             os.path.join(save_dir, f"pytorch_model_epoch{epoch}.bin"), joint)
+        # reference save_pretrained also writes the bert config next to the
+        # joint checkpoint (model.py:584)
+        bert_config.to_json_file(os.path.join(save_dir, "config.json"))
     return path
 
 

@@ -111,8 +111,15 @@ def test_mi_end_to_end(cfg):
 
     d = cfg.save_directory
     for name in ("pytorch_MI_image_model.bin", "pytorch_MI_text_model.bin",
-                 "pytorch_model_epoch1.bin", "mi_epoch1.ckpt"):
+                 "pytorch_model_epoch1.bin", "mi_epoch1.ckpt",
+                 "config.json"):  # bert config next to the joint ckpt
         assert os.path.exists(os.path.join(d, name)), name
+
+    # the written config round-trips through the loader
+    from mimm_tpu.models.bert import BertConfig
+    cfg_back = BertConfig.from_json_file(os.path.join(d, "config.json"))
+    assert cfg_back.hidden_size == mgr.bert_config.hidden_size
+    assert cfg_back.num_classes == mgr.bert_config.num_classes
 
     # exported image tower re-imports identically (incl. from the joint ckpt)
     from mimm_tpu import checkpoint as ckpt
