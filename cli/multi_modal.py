@@ -21,8 +21,6 @@ def train_mutual_information(cfg: TrainingConfig):
     from mimm_tpu.parallel import mesh as mesh_lib
     from mimm_tpu.train.mi import MultiModalManager
 
-    # multi-host pods: no-op unless a coordinator is configured
-    mesh_lib.initialize_distributed()
     os.makedirs(cfg.save_directory, exist_ok=True)
     logging.basicConfig(
         filename=os.path.join(cfg.save_directory, "training_MI.log"),
@@ -31,10 +29,18 @@ def train_mutual_information(cfg: TrainingConfig):
     logger = logging.getLogger(__name__)
     logger.info("args: %s", cfg)
 
+    # Tokenize BEFORE any jax backend exists: the tokenization pool forks
+    # (reference parity, model_utils.py:539-543) and forking after device
+    # client init can deadlock — features.convert_examples_to_features
+    # guards on this and would silently fall back to serial.
     tokenizer = WordPieceTokenizer.from_pretrained(cfg.bert_pretrained_dir)
     features = load_and_cache_examples(cfg.text_data_dir, cfg.max_seq_length,
-                                       tokenizer)
+                                       tokenizer,
+                                       num_workers=cfg.data_loader_workers)
     logger.info("tokens features: %d", len(features))
+
+    # multi-host pods: no-op unless a coordinator is configured
+    mesh_lib.initialize_distributed()
 
     manager = MultiModalManager(cfg)
     state = manager.train(token_features=features)

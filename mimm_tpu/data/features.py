@@ -91,11 +91,51 @@ def convert_example_to_feature(example: InputExample, label_map: Dict[str, int],
                          report_id=example.report_id)
 
 
+_POOL_STATE: Dict = {}
+
+
+def _pool_init(label_map, max_seq_length, tokenizer):
+    _POOL_STATE.update(label_map=label_map, max_seq_length=max_seq_length,
+                       tokenizer=tokenizer)
+
+
+def _pool_convert(example: InputExample) -> InputFeatures:
+    return convert_example_to_feature(example, _POOL_STATE["label_map"],
+                                      _POOL_STATE["max_seq_length"],
+                                      _POOL_STATE["tokenizer"])
+
+
+def _jax_backend_live() -> bool:
+    """True once a jax backend has been created in this process — forking
+    after that point can deadlock the device client, so the tokenization
+    pool falls back to serial."""
+    try:
+        import jax
+        return bool(getattr(jax._src.xla_bridge, "_backends", None))
+    except Exception:
+        return False
+
+
 def convert_examples_to_features(examples: Sequence[InputExample],
-                                 max_seq_length: int, tokenizer
+                                 max_seq_length: int, tokenizer,
+                                 num_workers: int = 0
                                  ) -> List[InputFeatures]:
+    """Tokenize ``examples``; with ``num_workers`` > 1 fan out over a
+    process pool like the reference (model_utils.py:539-543,
+    ``Pool(cpu_count()-1)``) — pure-python WordPiece is GIL-bound, so
+    threads cannot help.  ``Pool.map`` preserves order, so the feature
+    list is identical to the serial one.  Serial fallbacks: few examples,
+    one core, or a live jax backend (fork hazard)."""
     label_map = {label: i for i, label in enumerate(LABEL_LIST)}
     label_map["-1"] = -1  # unlabeled (model_utils.py:536)
+    workers = min(int(num_workers), max(1, (os.cpu_count() or 1) - 1))
+    if workers > 1 and len(examples) >= 4 * workers and not _jax_backend_live():
+        from multiprocessing import get_context
+        with get_context("fork").Pool(
+                workers, initializer=_pool_init,
+                initargs=(label_map, max_seq_length, tokenizer)) as pool:
+            chunk = max(16, len(examples) // (8 * workers))
+            return pool.map(_pool_convert, examples, chunksize=chunk)
     return [convert_example_to_feature(e, label_map, max_seq_length, tokenizer)
             for e in examples]
 
@@ -146,9 +186,12 @@ class TokenFeatureSet:
 
 
 def load_and_cache_examples(text_data_dir: str, max_seq_length: int, tokenizer,
-                            tsv_name: str = "all_data.tsv") -> TokenFeatureSet:
+                            tsv_name: str = "all_data.tsv",
+                            num_workers: int = 0) -> TokenFeatureSet:
     """Reference load_and_cache_examples (model_utils.py:341-370) with an
-    .npz cache (``cachedfeatures_train_seqlen-<L>.npz``)."""
+    .npz cache (``cachedfeatures_train_seqlen-<L>.npz``).  The cache is
+    written atomically (temp + rename) so concurrent multi-host runs can
+    race on it safely."""
     cache = os.path.join(text_data_dir,
                          f"cachedfeatures_train_seqlen-{max_seq_length}.npz")
     if os.path.exists(cache):
@@ -156,7 +199,10 @@ def load_and_cache_examples(text_data_dir: str, max_seq_length: int, tokenizer,
         return TokenFeatureSet.load(cache)
     logger.info("Creating features from dataset file at %s", text_data_dir)
     examples = create_examples_from_tsv(os.path.join(text_data_dir, tsv_name))
-    features = convert_examples_to_features(examples, max_seq_length, tokenizer)
+    features = convert_examples_to_features(examples, max_seq_length, tokenizer,
+                                            num_workers=num_workers)
     fs = TokenFeatureSet.from_features(features)
-    fs.save(cache)
+    tmp = f"{cache}.tmp.{os.getpid()}.npz"  # np.savez appends .npz otherwise
+    fs.save(tmp)
+    os.replace(tmp, cache)
     return fs
