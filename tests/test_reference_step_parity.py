@@ -1,11 +1,13 @@
 """FULL-STEP golden test against real torch: MI training steps — joint
 ResNet+BERT forward, create_mi_pairs, DV bound, and all three optimizer
 updates — must produce the same per-step losses as a torch replica of the
-reference (main_utils.py:209-230) for 5 consecutive steps with identical
-weights (exchanged through the repo's .bin converters) and identical
-batches.  This is the strongest feasible stand-in for the
-mm_dv_epoch20 loss-trajectory gate (BASELINE.md) without the real corpus
-and clinical BERT weights.
+reference (main_utils.py:209-230) along a 12-step TRAJECTORY over 4
+distinct batches (3 passes; one batch carries a duplicate study id to
+exercise the same-study negative exclusion), with identical weights
+(exchanged through the repo's .bin converters) and identical batches.
+This is the strongest feasible stand-in for the mm_dv_epoch20
+loss-trajectory gate (BASELINE.md) without the real corpus and clinical
+BERT weights.
 
 Run in float64 on BOTH sides (dropout off, BatchNorm in train mode): in
 fp32 the oneDNN-vs-XLA conv accumulation-order noise (~4e-4 on the
@@ -41,7 +43,8 @@ from mimm_tpu.train.mi import (MITrainState, create_mi_state,
 
 B = 5
 SEQ = 16
-STEPS = 5
+STEPS = 12       # 3 passes over N_BATCHES distinct batches — a short
+N_BATCHES = 4    # loss TRAJECTORY, not a single repeated step
 VOCAB = 64
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -122,26 +125,38 @@ def test_full_mi_step_matches_torch_reference(tmp_path):
         critic_sd = dict(critic_sd, **{"0.weight": w0})
 
         rng = np.random.default_rng(0)
-        batch = {
-            "image": jnp.asarray(rng.random((B, 256, 256, 1), np.float64)),
-            "txt_ids": jnp.asarray(
-                rng.integers(0, VOCAB, (B, SEQ)).astype(np.int32)),
-            "txt_masks": jnp.ones((B, SEQ), jnp.int32),
-            "txt_segments": jnp.zeros((B, SEQ), jnp.int32),
-            "study_id": jnp.asarray(np.arange(B, dtype=np.int64)),
-        }
+        batches = []
+        for n in range(N_BATCHES):
+            # batch 2 carries a duplicate study id so the trajectory also
+            # exercises the same-study negative exclusion (main_utils.py:105)
+            sids = np.arange(B, dtype=np.int64) + 10 * n
+            if n == 2:
+                sids[1] = sids[0]
+            batches.append({
+                "image": jnp.asarray(rng.random((B, 256, 256, 1), np.float64)),
+                "txt_ids": jnp.asarray(
+                    rng.integers(0, VOCAB, (B, SEQ)).astype(np.int32)),
+                "txt_masks": jnp.ones((B, SEQ), jnp.int32),
+                "txt_segments": jnp.zeros((B, SEQ), jnp.int32),
+                "study_id": jnp.asarray(sids),
+            })
+        batch = batches[0]  # forward-golden batch
 
         # ---- hand everything to the torch child -------------------------
         np.savez(os.path.join(work, "img_sd.npz"), **img_sd)
         np.savez(os.path.join(work, "txt_sd.npz"), **txt_sd)
         np.savez(os.path.join(work, "critic_sd.npz"), **critic_sd)
         np.savez(os.path.join(work, "batch.npz"),
-                 image_nchw=np.transpose(np.asarray(batch["image"]),
-                                         (0, 3, 1, 2)),
-                 txt_ids=np.asarray(batch["txt_ids"]),
-                 txt_masks=np.asarray(batch["txt_masks"]),
-                 txt_segments=np.asarray(batch["txt_segments"]),
-                 study_id=np.asarray(batch["study_id"]))
+                 image_nchw=np.stack([np.transpose(np.asarray(b["image"]),
+                                                   (0, 3, 1, 2))
+                                      for b in batches]),
+                 txt_ids=np.stack([np.asarray(b["txt_ids"]) for b in batches]),
+                 txt_masks=np.stack([np.asarray(b["txt_masks"])
+                                     for b in batches]),
+                 txt_segments=np.stack([np.asarray(b["txt_segments"])
+                                        for b in batches]),
+                 study_id=np.stack([np.asarray(b["study_id"])
+                                    for b in batches]))
         with open(os.path.join(work, "config.json"), "w") as f:
             json.dump({
                 "output_channels": 1, "vocab_size": VOCAB,
@@ -167,16 +182,16 @@ def test_full_mi_step_matches_torch_reference(tmp_path):
         np.testing.assert_allclose(np.asarray(outs[1]), et_torch,
                                    atol=1e-10, rtol=1e-9)
 
-        # ---- 5 jax steps vs the 5 reference torch steps -----------------
+        # ---- jax trajectory vs the reference torch trajectory -----------
         step = make_mi_train_step(model, txs, cfg)
         jax_losses = []
-        for _ in range(STEPS):
-            state, loss = step(state, batch)
+        for s in range(STEPS):
+            state, loss = step(state, batches[s % N_BATCHES])
             jax_losses.append(float(loss))
 
     # per-step agreement degrades geometrically (f64 accumulation-order
     # noise through a chaotic low-loss landscape: ~1e-13 at step 0 to
-    # ~3e-8 by step 4); 2e-7 absolute is still a proof of algorithmic
+    # ~1e-7 by step 11); 1e-6 absolute is still a proof of algorithmic
     # equivalence on losses of magnitude 1e-3..1e-1
-    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-6,
-                               atol=2e-7)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-5,
+                               atol=1e-6)

@@ -237,12 +237,26 @@ def main(work_dir):
         critic.double()
 
     with np.load(os.path.join(work_dir, "batch.npz")) as z:
-        img = torch.tensor(z["image_nchw"].astype(
-            np.float64 if f64 else np.float32))
-        ids = torch.tensor(z["txt_ids"].astype(np.int64))
-        masks = torch.tensor(z["txt_masks"].astype(np.int64))
-        segs = torch.tensor(z["txt_segments"].astype(np.int64))
-        sids = [str(int(s)) for s in z["study_id"]]
+        img_np = z["image_nchw"]
+        if img_np.ndim == 4:  # single batch -> trajectory of length 1
+            img_np = img_np[None]
+            ids_np = z["txt_ids"][None]
+            masks_np = z["txt_masks"][None]
+            segs_np = z["txt_segments"][None]
+            sids_np = z["study_id"][None]
+        else:  # stacked (N, B, ...) batch trajectory
+            ids_np = z["txt_ids"]
+            masks_np = z["txt_masks"]
+            segs_np = z["txt_segments"]
+            sids_np = z["study_id"]
+        imgs = torch.tensor(img_np.astype(np.float64 if f64 else np.float32))
+        idss = torch.tensor(ids_np.astype(np.int64))
+        maskss = torch.tensor(masks_np.astype(np.int64))
+        segss = torch.tensor(segs_np.astype(np.int64))
+        sidss = [[str(int(s)) for s in row] for row in sids_np]
+        n_batches = imgs.shape[0]
+        img, ids, masks, segs, sids = (imgs[0], idss[0], maskss[0], segss[0],
+                                       sidss[0])
 
     resnet.train()
     bert.train()
@@ -256,7 +270,10 @@ def main(work_dir):
                     warmup=c["warmup"], t_total=c["t_total"],
                     weight_decay=0.1)
     losses = []
-    for _ in range(c["steps"]):
+    for s in range(c["steps"]):
+        k = s % n_batches
+        img, ids, masks, segs, sids = (imgs[k], idss[k], maskss[k], segss[k],
+                                       sidss[k])
         ei = resnet(img)[1]
         et = bert(ids, masks, segs)[0]
         mi_input = create_mi_pairs(ei, et, sids)
