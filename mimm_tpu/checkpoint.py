@@ -87,8 +87,18 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
-        with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(path, target)
+        if target is not None:
+            with ocp.StandardCheckpointer() as ckptr:
+                return ckptr.restore(path, target)
+        # no target: restore as host numpy, ignoring the SAVED shardings —
+        # their device names need not exist in this process (offline
+        # conversion, cross-host inspection)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta = ckptr.metadata(path).item_metadata
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            return ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     with open(path, "rb") as f:
         obj = pickle.load(f)
     if isinstance(obj, dict) and "__mimm_ckpt__" in obj:

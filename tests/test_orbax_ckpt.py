@@ -91,6 +91,51 @@ def test_orbax_sharded_save_restore(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["x"]), np.asarray(x))
 
 
+def test_offline_bin_converter_from_orbax(tmp_path):
+    """tools/convert_checkpoint.py (the offline path the multi-host .bin
+    export warning points at): an orbax-saved MI state converts to the
+    reference .bin names, and the image tower re-imports identically."""
+    import subprocess
+    import sys
+
+    pytest.importorskip("torch")
+    from mimm_tpu.config import TrainingConfig
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.models.joint import ImageReportModel
+    from mimm_tpu.train.mi import create_mi_state, make_optimizers
+
+    cfg = TrainingConfig().replace(batch_size=4, img_size=256,
+                                   max_seq_length=16, compute_dtype="float32")
+    bert_cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                          num_attention_heads=2, intermediate_size=64,
+                          max_position_embeddings=32, num_classes=1)
+    model = ImageReportModel(bert_config=bert_cfg, output_channels=1,
+                             dtype=jnp.float32)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    save_dir = tmp_path / "save"
+    path = ckpt.save_checkpoint(str(save_dir / "mi_epoch3.ckpt"),
+                                state._asdict(), format="orbax")
+    bert_cfg.to_json_file(str(save_dir / "config.json"))
+
+    out_dir = tmp_path / "bins"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_checkpoint.py"),
+         "--kind", "mi", "--ckpt", path, "--out", str(out_dir)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})  # no TPU in the child
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for name in ("pytorch_MI_image_model.bin", "pytorch_MI_text_model.bin",
+                 "pytorch_model_epoch3.bin"):
+        assert os.path.exists(out_dir / name), name
+
+    v = ckpt.load_resnet_from_bin(str(out_dir / "pytorch_MI_image_model.bin"))
+    want = jax.device_get(state.params["image_model"]["conv1"]["kernel"])
+    np.testing.assert_allclose(v["params"]["conv1"]["kernel"], want,
+                               rtol=1e-6)
+
+
 def test_ae_resume_through_orbax(tmp_path):
     """Trainer-level: save with cfg.checkpoint_format='orbax', resume, and
     the resumed state must match the checkpointed one exactly."""
