@@ -22,7 +22,10 @@ LEARNING_RATES = [5e-4]                              # train.py:54
 
 
 def train_MI_models(base_cfg):
-    from cli.multi_modal import train_mutual_information
+    try:  # installed (mimm_cli) or in-repo package import
+        from .multi_modal import train_mutual_information
+    except ImportError:  # direct `python cli/train.py` execution
+        from cli.multi_modal import train_mutual_information
 
     for critic in CRITICS:
         for epochs in TRAINING_EPOCHS:
@@ -45,7 +48,10 @@ def train_AE_models(base_cfg):
 
 
 def train_Classifier(base_cfg, isMultiModal: bool):
-    from cli.multi_modal import train_image_classifier
+    try:
+        from .multi_modal import train_image_classifier
+    except ImportError:
+        from cli.multi_modal import train_image_classifier
     from mimm_tpu import checkpoint as ckpt
     from mimm_tpu.models.resnet import ResNet256_6_2_1
     from mimm_tpu.train.ae import build_ae_model

@@ -67,11 +67,11 @@ def save_checkpoint(path: str, tree: Any, format: str = "pickle") -> str:
 
 def _save_orbax(path: str, tree: Any) -> str:
     import orbax.checkpoint as ocp
-    import shutil
-    if os.path.isdir(path):  # orbax refuses to overwrite; match pickle
-        shutil.rmtree(path)  # semantics (per-epoch re-save, resume re-run)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, tree)
+        # force=True: orbax's own multi-process-safe overwrite (matches
+        # pickle semantics for per-epoch re-saves / resume re-runs).  A
+        # manual rmtree here would race across pod processes.
+        ckptr.save(path, tree, force=True)
         ckptr.wait_until_finished()
     return path
 

@@ -108,12 +108,21 @@ def _pool_convert(example: InputExample) -> InputFeatures:
 def _jax_backend_live() -> bool:
     """True once a jax backend has been created in this process — forking
     after that point can deadlock the device client, so the tokenization
-    pool falls back to serial."""
+    pool falls back to serial.  FAIL CLOSED: if jax is importable but the
+    backend registry can't be read (private-API drift), assume a backend
+    is live and stay serial — the wrong answer here is a deadlock, not a
+    slowdown."""
+    import sys
+    if "jax" not in sys.modules:
+        return False  # jax never imported -> no backend can exist
     try:
-        import jax
-        return bool(getattr(jax._src.xla_bridge, "_backends", None))
+        from jax._src import xla_bridge
+        backends = getattr(xla_bridge, "_backends", None)
+        if backends is None:  # registry moved/renamed: can't tell
+            return True
+        return bool(backends)
     except Exception:
-        return False
+        return True
 
 
 def convert_examples_to_features(examples: Sequence[InputExample],

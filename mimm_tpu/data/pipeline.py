@@ -251,7 +251,18 @@ class Loader:
         # pure overhead (measured 3-4x slower on a 1-core host).
         self.num_workers = max(0, min(num_workers, (os.cpu_count() or 1) - 1))
         self.skipped = 0
+        self._skip_lock = threading.Lock()  # decode threads count skips
         self._batches_per_epoch: Optional[int] = None
+
+    def _count_skip(self, idx: int, substituted: bool = False) -> None:
+        with self._skip_lock:
+            self.skipped += 1
+        if substituted:
+            logger.warning("substituting zeros for unreadable record %d "
+                           "(multi-host mode keeps batch composition "
+                           "identical across hosts)", idx)
+        else:
+            logger.warning("skipping unreadable record %d", idx)
 
     def __len__(self):
         n = len(self.dataset)
@@ -354,10 +365,7 @@ class Loader:
         def load_or_substitute(idx: int):
             s = self.dataset.load(idx, sample_rng(idx), train=self.train)
             if s is None:
-                self.skipped += 1
-                logger.warning("substituting zeros for unreadable record %d "
-                               "(multi-host mode keeps batch composition "
-                               "identical across hosts)", idx)
+                self._count_skip(idx, substituted=True)
                 if self._template is None:
                     # first decode on this process failed: probe other
                     # records for shapes/dtypes (the template is only
@@ -405,42 +413,43 @@ class Loader:
                 out_q.put(None)
 
         def producer(out_q: queue.Queue):
-            if self.bucket_lengths is None:
-                batch: List[Dict[str, np.ndarray]] = []
-                for idx, s in iter_samples():
-                    if s is None:
-                        self.skipped += 1
-                        logger.warning("skipping unreadable record %d", idx)
-                        continue
-                    batch.append(s)
-                    if len(batch) == self.batch_size:
+            try:
+                if self.bucket_lengths is None:
+                    batch: List[Dict[str, np.ndarray]] = []
+                    for idx, s in iter_samples():
+                        if s is None:
+                            self._count_skip(idx)
+                            continue
+                        batch.append(s)
+                        if len(batch) == self.batch_size:
+                            out_q.put(_stack(batch))
+                            batch = []
+                    if batch and not self.drop_last:
                         out_q.put(_stack(batch))
-                        batch = []
-                if batch and not self.drop_last:
-                    out_q.put(_stack(batch))
-                out_q.put(None)
-                return
+                    return
 
-            # bucketed: group the shuffled order by token-length bucket, but
-            # interleave bucket batches in shuffled-index order so training
-            # still sees a mixed stream.
-            buckets: Dict[int, List[Dict[str, np.ndarray]]] = \
-                {b: [] for b in self.bucket_lengths}
-            for idx, s in iter_samples():
-                b = self._bucket_of(idx)
-                if s is None:
-                    self.skipped += 1
-                    logger.warning("skipping unreadable record %d", idx)
-                    continue
-                buckets[b].append(s)
-                if len(buckets[b]) == self.batch_size:
-                    out_q.put(_stack(buckets[b], seq_len=b))
-                    buckets[b] = []
-            if not self.drop_last:
-                for b, batch in buckets.items():
-                    if batch:
-                        out_q.put(_stack(batch, seq_len=b))
-            out_q.put(None)
+                # bucketed: group the shuffled order by token-length bucket,
+                # but interleave bucket batches in shuffled-index order so
+                # training still sees a mixed stream.
+                buckets: Dict[int, List[Dict[str, np.ndarray]]] = \
+                    {b: [] for b in self.bucket_lengths}
+                for idx, s in iter_samples():
+                    b = self._bucket_of(idx)
+                    if s is None:
+                        self._count_skip(idx)
+                        continue
+                    buckets[b].append(s)
+                    if len(buckets[b]) == self.batch_size:
+                        out_q.put(_stack(buckets[b], seq_len=b))
+                        buckets[b] = []
+                if not self.drop_last:
+                    for b, batch in buckets.items():
+                        if batch:
+                            out_q.put(_stack(batch, seq_len=b))
+            except Exception as e:  # surface in the consumer, not the thread
+                out_q.put(e)
+            finally:
+                out_q.put(None)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         target = producer_sliced if self.process_count > 1 else producer

@@ -29,21 +29,29 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     ICI/DCN seam SURVEY.md §5/§7 calls for (the reference is single-device;
     this is a new capability).
 
-    On TPU pods ``jax.distributed.initialize()`` auto-discovers the
-    coordinator, process count and id from the TPU metadata, so providing
-    no arguments is the normal pod path.  Explicit args (or the
+    Opt in by setting ``MIMM_DISTRIBUTED=1`` (TPU pods: jax auto-discovers
+    the coordinator, process count and id from the pod metadata, so no
+    other configuration is needed) or by providing explicit
+    coordinator/count/id — as arguments or via the
     ``MIMM_COORDINATOR_ADDRESS`` / ``MIMM_NUM_PROCESSES`` /
-    ``MIMM_PROCESS_ID`` env vars) support CPU/GPU fleets.
+    ``MIMM_PROCESS_ID`` env vars (CPU/GPU fleets).  There is no reliable
+    way to DETECT a pod without initializing a backend, and
+    ``jax.distributed.initialize`` must run before any backend exists —
+    hence the explicit opt-in rather than auto-detection.
 
     Returns True when the distributed runtime is (or already was)
     initialized; False for a plain single-process run — development,
-    tests, and the single-chip driver all take that no-op path.
+    tests, and the single-chip driver all take that no-op path.  This
+    function MUST NOT touch any backend-creating jax API (jax.devices,
+    jax.process_count, ...) before calling initialize: in jax 0.9
+    ``jax.distributed.initialize`` raises once a backend exists.
     After a successful init, ``jax.devices()`` is the GLOBAL device list
     and ``make_mesh`` builds pod-wide meshes from it unchanged.
     """
     import os
 
-    if jax.process_count() > 1:
+    from jax._src import distributed as _distributed
+    if getattr(_distributed.global_state, "client", None) is not None:
         return True  # launcher already initialized the runtime
     coordinator_address = coordinator_address or \
         os.environ.get("MIMM_COORDINATOR_ADDRESS")
@@ -51,7 +59,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["MIMM_NUM_PROCESSES"])
     if process_id is None and os.environ.get("MIMM_PROCESS_ID"):
         process_id = int(os.environ["MIMM_PROCESS_ID"])
-    if coordinator_address is None and num_processes is None:
+    auto = os.environ.get("MIMM_DISTRIBUTED", "").lower() in ("1", "true",
+                                                              "auto")
+    if coordinator_address is None and num_processes is None and not auto:
         return False  # nothing indicates a multi-process run
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

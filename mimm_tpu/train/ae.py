@@ -109,12 +109,17 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
     model = build_ae_model(cfg)
     start_epoch = 0
-    # template first: orbax checkpoints need a structured target to restore
-    # optax namedtuple states with their types (checkpoint.load_checkpoint)
-    state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
-    if resume_from is not None:
+    if resume_from is None:
+        state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
+    else:
+        # orbax (directory) checkpoints need a structured target to restore
+        # optax namedtuple states with their types — build a template; the
+        # pickle path preserves types itself, so skip the init cost there
+        target = create_ae_state(model, cfg,
+                                 jax.random.PRNGKey(cfg.seed))._asdict() \
+            if os.path.isdir(resume_from) else None
         state = AETrainState(**ckpt.load_checkpoint(resume_from,
-                                                    target=state._asdict()))
+                                                    target=target))
         start_epoch = int(state.step) // max(1, len(loader))
         logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
                     int(state.step), start_epoch)

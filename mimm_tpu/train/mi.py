@@ -246,6 +246,10 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
     os.makedirs(save_dir, exist_ok=True)
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"mi_epoch{epoch}.ckpt"),
                                 state._asdict(), format=ckpt_format)
+    # reference save_pretrained writes the bert config next to the joint
+    # checkpoint (model.py:584); written unconditionally — the offline
+    # converter multi-host runs rely on reads its layer count from here
+    bert_config.to_json_file(os.path.join(save_dir, "config.json"))
     if export_torch_bins and jax.process_count() > 1:
         # pod-sharded params are not fully addressable on any single host;
         # export .bins offline from the (orbax) native checkpoint instead
@@ -268,9 +272,6 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
         joint.update({f"text_model.{k}": v for k, v in txt_sd.items()})
         ckpt.save_state_dict_bin(
             os.path.join(save_dir, f"pytorch_model_epoch{epoch}.bin"), joint)
-        # reference save_pretrained also writes the bert config next to the
-        # joint checkpoint (model.py:584)
-        bert_config.to_json_file(os.path.join(save_dir, "config.json"))
     return path
 
 
@@ -344,15 +345,21 @@ class MultiModalManager:
         steps_per_epoch = max(1, loader.batches_per_epoch())
         txs = make_optimizers(cfg, steps_per_epoch=steps_per_epoch)
         start_epoch = 0
-        # template first: orbax checkpoints need a structured target to
-        # restore optax namedtuple states with their types
-        # (checkpoint.load_checkpoint)
-        state = create_mi_state(self.model, cfg, txs,
-                                jax.random.PRNGKey(cfg.seed),
-                                bert_variables=self.bert_variables)
-        if resume_from is not None:
-            state = MITrainState(**ckpt.load_checkpoint(
-                resume_from, target=state._asdict()))
+        if resume_from is None:
+            state = create_mi_state(self.model, cfg, txs,
+                                    jax.random.PRNGKey(cfg.seed),
+                                    bert_variables=self.bert_variables)
+        else:
+            # orbax (directory) checkpoints need a structured target to
+            # restore optax namedtuple states with their types — build a
+            # template; the pickle path preserves types itself, so skip
+            # the full model-init cost there
+            target = create_mi_state(
+                self.model, cfg, txs, jax.random.PRNGKey(cfg.seed),
+                bert_variables=self.bert_variables)._asdict() \
+                if os.path.isdir(resume_from) else None
+            state = MITrainState(**ckpt.load_checkpoint(resume_from,
+                                                        target=target))
             start_epoch = int(state.step) // steps_per_epoch
             logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
                         int(state.step), start_epoch)

@@ -98,4 +98,5 @@ def test_initialize_distributed_is_noop_single_process(monkeypatch):
     from mimm_tpu.parallel import mesh as mesh_lib
     monkeypatch.delenv("MIMM_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("MIMM_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("MIMM_DISTRIBUTED", raising=False)
     assert mesh_lib.initialize_distributed() is False
