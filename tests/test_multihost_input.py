@@ -94,6 +94,24 @@ def test_process_count_must_divide_batch():
         Loader(PairedDS(8), batch_size=4, process_count=2, process_index=2)
 
 
+def test_producer_exception_surfaces_not_hangs():
+    """A dataset.load that RAISES (vs returning None) must propagate to
+    the consuming thread — the single-host producer used to die silently,
+    leaving the training loop blocked on the queue forever."""
+
+    class Exploding(PairedDS):
+        def load(self, idx, rng, train=True):
+            if idx == 5:
+                raise RuntimeError("corrupt metadata row")
+            return super().load(idx, rng, train)
+
+    for buckets in (None, [16, 32]):
+        ld = Loader(Exploding(n=16), batch_size=4, seed=0,
+                    bucket_lengths=buckets)
+        with pytest.raises(RuntimeError, match="corrupt metadata row"):
+            collect(ld)
+
+
 def test_initialize_distributed_is_noop_single_process(monkeypatch):
     from mimm_tpu.parallel import mesh as mesh_lib
     monkeypatch.delenv("MIMM_COORDINATOR_ADDRESS", raising=False)
