@@ -53,10 +53,14 @@ def save_checkpoint(path: str, tree: Any, format: str = "pickle") -> str:
     shards — the only correct option for multi-host sharded state, since
     pickling would require gathering the full tree onto one host (which
     does not address all shards of a pod-sharded array).  Multi-process
-    runs force orbax regardless of ``format``."""
+    runs force orbax regardless of ``format``.  ``format="orbax_async"``:
+    like orbax, but the save returns as soon as the on-device state has
+    been snapshotted — shard writing overlaps subsequent training steps
+    (call :func:`wait_for_async_saves` before reading the checkpoint or
+    exiting; trainers do this at the end of ``train()``)."""
     path = os.path.abspath(path)
-    if format == "orbax" or jax.process_count() > 1:
-        return _save_orbax(path, tree)
+    if format.startswith("orbax") or jax.process_count() > 1:
+        return _save_orbax(path, tree, wait=(format != "orbax_async"))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     host_tree = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
     with open(path, "wb") as f:
@@ -65,15 +69,30 @@ def save_checkpoint(path: str, tree: Any, format: str = "pickle") -> str:
     return path
 
 
-def _save_orbax(path: str, tree: Any) -> str:
+_ASYNC_CKPTR = None  # persistent AsyncCheckpointer for orbax_async saves
+
+
+def _save_orbax(path: str, tree: Any, wait: bool = True) -> str:
+    global _ASYNC_CKPTR
     import orbax.checkpoint as ocp
-    with ocp.StandardCheckpointer() as ckptr:
-        # force=True: orbax's own multi-process-safe overwrite (matches
-        # pickle semantics for per-epoch re-saves / resume re-runs).  A
-        # manual rmtree here would race across pod processes.
-        ckptr.save(path, tree, force=True)
-        ckptr.wait_until_finished()
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    # force=True: orbax's own multi-process-safe overwrite (matches pickle
+    # semantics for per-epoch re-saves / resume re-runs).  A manual rmtree
+    # here would race across pod processes.  The save itself returns once
+    # the state is snapshotted; shard writing continues in the background.
+    _ASYNC_CKPTR.save(path, tree, force=True)
+    if wait:
+        _ASYNC_CKPTR.wait_until_finished()
     return path
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight ``orbax_async`` checkpoint write has
+    committed.  Trainers call this at the end of ``train()``; call it
+    manually before loading a just-written async checkpoint."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
@@ -87,6 +106,7 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
+        wait_for_async_saves()  # never read a checkpoint mid-write
         if target is not None:
             with ocp.StandardCheckpointer() as ckptr:
                 return ckptr.restore(path, target)

@@ -184,9 +184,12 @@ class TrainingConfig:
     # which reorders batches WITHIN an epoch (equivalent to a different
     # shuffle; every batch is still consumed exactly once).
     scan_steps: int = 1
-    # Native checkpoint serialization: "pickle" (single file, one host) or
+    # Native checkpoint serialization: "pickle" (single file, one host),
     # "orbax" (directory; every process writes its own shards — required
-    # and auto-forced for multi-host runs; see checkpoint.save_checkpoint).
+    # and auto-forced for multi-host runs), or "orbax_async" (orbax with
+    # background shard writing: the save returns after the on-device
+    # snapshot and training continues while shards commit; trainers wait
+    # for in-flight writes at the end of train()).
     checkpoint_format: str = "pickle"
 
     def replace(self, **kw) -> "TrainingConfig":

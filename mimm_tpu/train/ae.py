@@ -157,6 +157,7 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                   [training_loss], ["Training loss"],
                   os.path.join(cfg.save_directory, "autoencoder_training_loss.png"))
     writer.close()
+    ckpt.wait_for_async_saves()  # commit any orbax_async epoch saves
     return state
 
 

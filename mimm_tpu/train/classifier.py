@@ -209,6 +209,7 @@ class ClassifierModelManager:
 
         self._plots(tr_losses, va_losses, tr_accs, va_accs, suffix="")
         writer.close()
+        ckpt.wait_for_async_saves()  # commit any orbax_async epoch saves
         return state, max_accuracy, best_path
 
     def save(self, state: ClassifierTrainState, label: str,

@@ -421,4 +421,5 @@ class MultiModalManager:
                       os.path.join(cfg.save_directory,
                                    "mutual_information_training.png"))
         writer.close()
+        ckpt.wait_for_async_saves()  # commit any orbax_async epoch saves
         return state

@@ -60,6 +60,23 @@ def test_load_checkpoint_autodetects_format(tmp_path):
                 ckpt.load_checkpoint(p_orbax, target=tree))
 
 
+def test_orbax_async_roundtrip(tmp_path):
+    """orbax_async: the save returns before shards commit; after
+    wait_for_async_saves the checkpoint is complete and loads equal.
+    Re-saving the same path in flight must also be safe (epoch cadence)."""
+    tree, _ = _state_tree()
+    p1 = ckpt.save_checkpoint(str(tmp_path / "e1.ckpt"), tree,
+                              format="orbax_async")
+    tree2 = jax.tree.map(lambda x: x + 1 if jnp.issubdtype(x.dtype,
+                                                           jnp.floating)
+                         else x, tree)
+    p2 = ckpt.save_checkpoint(str(tmp_path / "e2.ckpt"), tree2,
+                              format="orbax_async")
+    ckpt.wait_for_async_saves()
+    _tree_equal(tree, ckpt.load_checkpoint(p1, target=tree))
+    _tree_equal(tree2, ckpt.load_checkpoint(p2, target=tree))
+
+
 def test_orbax_resave_overwrites(tmp_path):
     tree, _ = _state_tree()
     path = str(tmp_path / "state.ckpt")
