@@ -23,6 +23,8 @@ def packed_dropout(x: jax.Array, rate: float, rng: jax.Array,
                    deterministic: bool = False) -> jax.Array:
     if deterministic or rate == 0.0:
         return x
+    if rate >= 1.0:  # nn.Dropout parity: everything dropped, no inf from
+        return jnp.zeros_like(x)  # the byte threshold capping at 255
     keep_prob = 1.0 - rate
     # 8-bit threshold: keep iff byte >= rate*256
     threshold = jnp.uint32(min(255, int(round(rate * 256.0))))

@@ -30,9 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from mimm_tpu.ops.common import interpret as _interpret
 
 
 def _probs(q, k, bias_row, scale):

@@ -57,6 +57,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mimm_tpu.ops.common import interpret as _interpret
+
 # Row-tile sizes, chosen so weights (9.4 MB bf16) + activation tiles +
 # f32 temporaries stay under VMEM: forward holds one (TILE, F) f32
 # intermediate; bwd A holds two.
@@ -66,10 +68,6 @@ _BWD_B_TILE = 128
 
 _SQRT_2_OVER_PI = 0.7978845608028654
 _GELU_C = 0.044715
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _gelu_tanh(h):

@@ -54,12 +54,17 @@ the intermediate stays under ~8 GB and to the kernel beyond (or when
 
 from __future__ import annotations
 
+import logging
 from typing import List
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from mimm_tpu.ops.common import interpret as _interpret
+
+logger = logging.getLogger(__name__)
 
 # Per-tile: BI sequential (BJ, H1) pair-activation rows; each feeds the MXU
 # as (BJ, H1) @ (H1, H2).  VMEM per tile ~ BJ*H1*4B + weights (~3 MB at the
@@ -69,7 +74,7 @@ from jax.experimental.pallas import tpu as pltpu
 # multiple of 128 or the full array dim, and sublane dims to be multiples
 # of 8 — so tile sizes adapt to the batch: small batches use one full-size
 # block (zero tiling waste beyond 8-row padding), large batches tile at
-# (128, 512).
+# (MAX_BLOCK_I, MAX_BLOCK_J) = (128, 256).
 MAX_BLOCK_I = 128
 MAX_BLOCK_J = 256  # 512 blew the 16MB scoped-VMEM limit in the bwd kernel at B>=512
 
@@ -77,7 +82,7 @@ MAX_BLOCK_J = 256  # 512 blew the 16MB scoped-VMEM limit in the bwd kernel at B>
 def _block_sizes(n_img: int, n_txt: int):
     # Full-batch blocks only while the backward kernel's live set (tiles +
     # weight/grad accumulators + temporaries) stays inside the ~16 MB VMEM
-    # scoped limit; otherwise tile at (128, 512).
+    # scoped limit; otherwise tile at (MAX_BLOCK_I, MAX_BLOCK_J).
     if n_img <= MAX_BLOCK_I:
         bi = -(-n_img // 8) * 8          # full (pad to sublane multiple)
     else:
@@ -87,10 +92,6 @@ def _block_sizes(n_img: int, n_txt: int):
 
 _CONTRACT_ROWS = (((0,), (0,)), ((), ()))   # A^T B : contract leading dims
 _CONTRACT_LAST = (((1,), (1,)), ((), ()))   # A B^T : contract trailing dims
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _pad_rows(x: jax.Array, block: int) -> jax.Array:
@@ -406,10 +407,23 @@ def pairwise_critic_scores_pallas(params: List[dict], emb_img: jax.Array,
     module docstring); the kernel serves non-materializable batch sizes.
     ``force_kernel`` pins the kernel path (parity tests)."""
     pairs = emb_img.shape[0] * emb_txt.shape[0]
-    h1 = params[0]["w"].shape[1] if len(params) == 3 else 0
+    if len(params) != 3:
+        # the kernel hard-codes the reference's 3-layer critic; any other
+        # depth must not be a SILENT fallback — the XLA path materializes
+        # the B^2 x H1 intermediate the kernel exists to avoid
+        if force_kernel:
+            raise ValueError(
+                f"pairwise critic kernel supports exactly 3 layers, got "
+                f"{len(params)} (force_kernel=True)")
+        logger.warning(
+            "pairwise critic kernel supports exactly 3 layers (got %d); "
+            "using the XLA factorized path — its %d x H1 intermediate "
+            "materializes in HBM", len(params), pairs)
+        from mimm_tpu.objectives.pairing import pairwise_critic_scores
+        return pairwise_critic_scores(params, emb_img, emb_txt)
+    h1 = params[0]["w"].shape[1]
     xla_intermediate_bytes = pairs * h1 * 4
-    if len(params) != 3 or (not force_kernel
-                            and xla_intermediate_bytes <= 8 * 1024 ** 3):
+    if not force_kernel and xla_intermediate_bytes <= 8 * 1024 ** 3:
         from mimm_tpu.objectives.pairing import pairwise_critic_scores
         return pairwise_critic_scores(params, emb_img, emb_txt)
 

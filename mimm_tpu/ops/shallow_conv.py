@@ -48,9 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from mimm_tpu.ops.common import interpret as _interpret
 
 
 def _fwd_kernel(w_ref, xp_ref, out_ref):

@@ -12,11 +12,14 @@ exactly the design SURVEY.md §5 calls for, without hand-written NCCL-alikes.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -93,8 +96,14 @@ def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
             from jax.experimental import mesh_utils
             return Mesh(mesh_utils.create_device_mesh(dims, devices=devices),
                         names)
-        except Exception:
-            pass  # virtual/host platforms without coords: plain reshape below
+        except Exception as e:
+            # virtual/host platforms without coords: plain reshape below.
+            # Logged because on REAL pods losing the ICI-aware ordering
+            # silently costs collective bandwidth.
+            logger.warning("mesh_utils.create_device_mesh failed (%s); "
+                           "falling back to enumeration-order reshape — "
+                           "'%s'-axis collectives may not ride contiguous "
+                           "ICI links", e, names[-1])
     return Mesh(np.asarray(devices[:n]).reshape(dims), names)
 
 
@@ -114,20 +123,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def put_global(batch, sharding: NamedSharding):
-    """Materialize a (possibly multi-host) on-device batch.
+def put_global(batch, sharding, full: bool = False):
+    """Materialize a (possibly multi-host) on-device tree.
 
     Single-process: a plain ``device_put``.  Multi-process (after
-    ``initialize_distributed``): every process holds only ITS slice of the
-    global batch (the Loader's ``process_count``/``process_index`` slicing)
-    and ``jax.make_array_from_process_local_data`` assembles the global
-    jax.Array without any cross-host transfer — each host's slice lands on
-    its own addressable devices per ``sharding``."""
+    ``initialize_distributed``): built on
+    ``jax.make_array_from_process_local_data`` — a plain ``device_put``
+    would raise for shardings spanning non-addressable devices.
+
+    ``full=False`` (input batches): every process holds only ITS slice of
+    the global batch (the Loader's ``process_count``/``process_index``
+    slicing); the global shape is inferred from the slice + sharding.
+    ``full=True`` (params/optimizer trees): every process holds the FULL
+    array (e.g. identical model init); the explicit ``global_shape``
+    makes each process slice out just its addressable shards.
+
+    ``sharding`` may be a single NamedSharding for the whole tree or a
+    tree of NamedShardings matching ``batch``."""
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)), batch)
+
+    def put_leaf(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sh, x, global_shape=x.shape if full else None)
+
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.tree.map(lambda x: put_leaf(x, sharding), batch)
+    return jax.tree.map(put_leaf, batch, sharding)
 
 
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
@@ -136,7 +159,7 @@ def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
 
 
 def replicate(mesh: Mesh, tree):
-    return put_global(tree, replicated(mesh))
+    return put_global(tree, replicated(mesh), full=True)
 
 
 def bert_tp_shardings(mesh: Mesh, text_params):
@@ -184,9 +207,12 @@ def shard_mi_state(mesh: Mesh, state):
     update (they are donated, so no stale replicated copy survives)."""
     if MODEL_AXIS not in mesh.axis_names:
         return replicate(mesh, state)
-    put = lambda tree, specs: jax.device_put(
+    # put_global (not device_put): on multi-host meshes the TP shardings
+    # span non-addressable devices and every process holds the full
+    # identically-initialized arrays (full=True)
+    put = lambda tree, specs: put_global(
         tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                           is_leaf=lambda x: isinstance(x, P)))
+                           is_leaf=lambda x: isinstance(x, P)), full=True)
     params = dict(state.params)
     params["text_model"] = put(params["text_model"],
                                bert_tp_shardings(mesh, params["text_model"]))

@@ -43,7 +43,12 @@ class InferenceSession:
 
         self.text_model = None
         txt_path = os.path.join(save_directory, "pytorch_MI_text_model.bin")
-        if bert_config is not None and os.path.exists(txt_path):
+        if bert_config is not None:
+            if not os.path.exists(txt_path):
+                # fail at init like the image model does — a silent skip
+                # would surface later as a misleading "pass bert_config"
+                raise FileNotFoundError(
+                    f"bert_config given but no text checkpoint at {txt_path}")
             self.text_model = TextBert(bert_config)
             sd = ckpt.load_state_dict_bin(txt_path)
             self.text_vars = ckpt.bert_variables_from_state_dict(
@@ -69,12 +74,12 @@ class InferenceSession:
                     self.text_vars, ids, token_type_ids=segs,
                     attention_mask=masks)[0])
         if self.classifier is not None:
-            self._classify = jax.jit(
-                lambda imgs: self.classifier.apply(
-                    self.clf_params,
-                    self.image_model.apply(self.image_vars,
-                                           device_normalize(imgs),
-                                           train=False)[1])[:, 0])
+            # classify = MLP head over _embed_images: calling the already-
+            # jitted embed keeps ONE copy of the image weights as jit
+            # constants instead of baking a second copy into this closure
+            head = jax.jit(
+                lambda emb: self.classifier.apply(self.clf_params, emb)[:, 0])
+            self._classify = lambda imgs: head(self._embed_images(imgs))
 
     def _pad(self, x: np.ndarray):
         n = x.shape[0]
