@@ -327,13 +327,21 @@ def populate_subset_dataset(cfg, seed: int = 0) -> None:
     train_imgs: Dict[str, str] = {}
     test_imgs: Dict[str, str] = {}
     meta_path = os.path.join(cfg.data_dir, META_FILENAME)
+    # the 1-in-20 draw is made once per STUDY, not per metadata row: the
+    # reference draws per row (dataset_populate.py:350-353), so a study
+    # with several dicoms on disk could land in BOTH splits — leaking the
+    # held-out set.  Intent (a disjoint study-level split) is preserved;
+    # the per-study draw is an intentional difference like the seeding.
+    assigned: Dict[str, bool] = {}  # study -> goes_to_test
     for dicom, subject, study, _ in iter_metadata(meta_path):
         img_rel = os.path.join(f"p{subject[:2]}", f"p{subject}_s{study}_{dicom}.jpg")
         if study not in study_text:
             continue
         if not os.path.isfile(os.path.join(cfg.image_storage_dir, img_rel)):
             continue
-        if int(rng.integers(0, 20)) == 10:
+        if study not in assigned:
+            assigned[study] = int(rng.integers(0, 20)) == 10
+        if assigned[study]:
             test_imgs[study] = img_rel
         else:
             train_imgs[study] = img_rel

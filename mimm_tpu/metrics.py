@@ -38,8 +38,15 @@ def Plot_Training(xlabel: str, ylabel: str, title: str,
     Same call contract as the reference plot helper (utils.py:29-40) so the
     entry points produce the same artifacts, but drawn on an explicit
     Figure/Axes pair — no global pyplot state leaks between the sweep
-    loops' many plot calls.
+    loops' many plot calls.  Multi-host: process 0 draws; the other
+    processes share the output path and would race on the file.
     """
+    try:
+        import jax
+        if jax.process_index() != 0:
+            return
+    except Exception:
+        pass
     import matplotlib
     matplotlib.use("Agg")
     from matplotlib.figure import Figure
@@ -163,16 +170,30 @@ class MetricWriter:
         os.makedirs(save_directory, exist_ok=True)
         self.save_directory = save_directory
         self.jsonl_path = os.path.join(save_directory, f"{name}.jsonl")
-        self._fh = open(self.jsonl_path, "a")
+        # multi-host: only process 0 writes metrics/log files — every
+        # process shares save_directory, and N writers would duplicate
+        # every record N times (checkpoints are separate: orbax saves are
+        # collective and .bin export is already gated)
+        self._primary = True
+        try:
+            import jax
+            self._primary = jax.process_index() == 0
+        except Exception:
+            pass
+        self._fh = open(self.jsonl_path, "a") if self._primary else None
         self.logger = logging.getLogger(f"mimm_tpu.{name}")
-        if log_filename is not None:
-            handler = logging.FileHandler(os.path.join(save_directory, log_filename))
-            handler.setFormatter(logging.Formatter(
+        self._handler = None
+        if log_filename is not None and self._primary:
+            self._handler = logging.FileHandler(
+                os.path.join(save_directory, log_filename))
+            self._handler.setFormatter(logging.Formatter(
                 "%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M"))
-            self.logger.addHandler(handler)
+            self.logger.addHandler(self._handler)
             self.logger.setLevel(logging.INFO)
 
     def write(self, step: Optional[int] = None, **scalars) -> None:
+        if self._fh is None:
+            return
         rec = {"time": time.time()}
         if step is not None:
             rec["step"] = step
@@ -191,4 +212,11 @@ class MetricWriter:
         self.write(epoch=epoch, epoch_loss=loss, epoch_seconds=seconds)
 
     def close(self) -> None:
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
+        if self._handler is not None:
+            # detach: a second run in the same process would otherwise log
+            # every line into BOTH files, N times after N runs
+            self.logger.removeHandler(self._handler)
+            self._handler.close()
+            self._handler = None

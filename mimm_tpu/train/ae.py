@@ -46,6 +46,8 @@ class AETrainState(NamedTuple):
 def build_ae_model(cfg) -> ResNetAE:
     """Reference config: main_utils.py:600-605."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # the reference itself uses output_channels as the AE INPUT channel
+    # count (main_utils.py:600, default 1 = grayscale); kept for parity
     return ResNetAE(input_shape=(cfg.img_size, cfg.img_size, cfg.output_channels),
                     n_residual_blocks=2, n_levels=6, z_dim=192,
                     bottleneck_dim=192 * 4, use_multi_res_skips=True, dtype=dtype)

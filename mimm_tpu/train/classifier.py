@@ -93,18 +93,37 @@ def make_classifier_step(mlp: BasicMLP, tx, seed: int,
     return train_step
 
 
-def evaluate(mlp: BasicMLP, params, embed, loader, epoch: int):
-    """Accuracy + confusion tallies over a loader epoch (eval transform)."""
-    @jax.jit
-    def predict(emb):
-        return mlp.apply(params, emb)[:, 0]
+def make_predict(mlp: BasicMLP):
+    """Jitted (params, emb) -> sigmoid outputs.  params is an ARGUMENT,
+    not a closure constant: a per-call closure would re-trace and
+    re-compile with the weights baked in on every evaluation."""
+    return jax.jit(lambda params, emb: mlp.apply(params, emb)[:, 0])
+
+
+def evaluate(mlp: BasicMLP, params, embed, loader, epoch: int,
+             predict=None, cached_batches=None):
+    """Accuracy + confusion tallies over a loader epoch (eval transform).
+
+    ``cached_batches``: optional list of (embedding, label) pairs — e.g.
+    the embeddings the train loop just computed (the loader is
+    deterministic per (seed, epoch), so they are bitwise identical to a
+    fresh pass) — skipping a full frozen-encoder re-run."""
+    if predict is None:
+        predict = make_predict(mlp)
+
+    def batches():
+        if cached_batches is not None:
+            for emb, y in cached_batches:
+                yield emb, y
+            return
+        for batch in loader.epoch(epoch):
+            yield embed(batch["image"]), batch["label"]
 
     count = total = tp = tn = fp = fn = pos = neg = 0
     losses = []
-    for batch in loader.epoch(epoch):
-        emb = embed(batch["image"])
-        p = np.asarray(predict(emb))
-        y = np.asarray(batch["label"])
+    for emb, y in batches():
+        p = np.asarray(predict(params, emb))
+        y = np.asarray(y)
         pred = np.round(p)
         pc = np.clip(p, 1e-7, 1 - 1e-7)
         losses.append(float(-np.mean(y * np.log(pc) + (1 - y) * np.log1p(-pc))))
@@ -166,23 +185,30 @@ class ClassifierModelManager:
                                        rng_impl=getattr(cfg, "rng_impl",
                                                         "threefry2x32"))
 
+        predict = make_predict(self.mlp)  # compiled ONCE for all epochs
         tr_losses, tr_accs, va_losses, va_accs = [], [], [], []
         max_accuracy = 0.0
         best_path = None
         for epoch in range(num_epochs):
             start = time.time()
             step_losses = []
+            epoch_embs = []  # reused for train accuracy: the loader is
+            # deterministic per (seed, epoch), so a fresh evaluate pass
+            # would recompute these exact frozen-encoder embeddings
             for batch in self.train_loader.epoch(epoch):
                 emb = self.embed(batch["image"])
+                epoch_embs.append((emb, batch["label"]))
                 state, loss = step_fn(state, emb, jnp.asarray(batch["label"]))
                 step_losses.append(loss)  # device scalar; read once per epoch
             tr_loss = float(np.mean(jax.device_get(step_losses))) \
                 if step_losses else 0.0
 
             tr_acc, _, _ = evaluate(self.mlp, state.params, self.embed,
-                                    self.train_loader, epoch)
+                                    self.train_loader, epoch, predict=predict,
+                                    cached_batches=epoch_embs)
             va_acc, va_loss, tallies = evaluate(self.mlp, state.params,
-                                                self.embed, self.val_loader, epoch)
+                                                self.embed, self.val_loader,
+                                                epoch, predict=predict)
             tr_losses.append(tr_loss); tr_accs.append(tr_acc)
             va_losses.append(va_loss); va_accs.append(va_acc)
 

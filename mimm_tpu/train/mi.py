@@ -95,8 +95,13 @@ def build_joint_model(cfg, bert_config: Optional[BertConfig] = None
                             pallas_stem=getattr(cfg, "pallas_stem", False))
 
 
-def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
-    total = int(cfg.num_train_epochs * steps_per_epoch)
+def make_optimizers(cfg, steps_per_epoch: int,
+                    num_epochs: Optional[int] = None) -> MIOptimizers:
+    """``num_epochs``: the epoch count the run will ACTUALLY train for
+    (Manager.train's override); defaults to cfg.num_train_epochs.  The
+    warmup-linear schedule's t_total must match the real run length or a
+    short run sits entirely inside warmup."""
+    total = int((num_epochs or cfg.num_train_epochs) * steps_per_epoch)
     sched = warmup_linear_schedule(cfg.bert_lr,
                                    warmup_steps=cfg.warmup_fraction * total,
                                    t_total=total)
@@ -116,7 +121,10 @@ def make_optimizers(cfg, steps_per_epoch: int) -> MIOptimizers:
 def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,
                     bert_variables: Optional[dict] = None) -> MITrainState:
     k_model, k_critic = jax.random.split(rng)
-    img = jnp.zeros((1, cfg.img_size, cfg.img_size, cfg.output_channels))
+    # 1 image channel: CXR JPEGs are grayscale and the pipeline always
+    # yields (B, H, W, 1); the reference hardcodes conv1 in_channels=1
+    # (model.py:299).  cfg.output_channels is the CLASSIFIER head width.
+    img = jnp.zeros((1, cfg.img_size, cfg.img_size, 1))
     ids = jnp.zeros((1, cfg.max_seq_length), jnp.int32)
     variables = model.init(k_model, img, ids)
     params = variables["params"]
@@ -200,6 +208,12 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
             scores = jax.vmap(lambda a, c: score_fn(critic_params, a, c))(ei, et)
             loss = jnp.mean(jax.vmap(bound_fn)(scores, si))
         else:
+            if local_blocks > 1:  # trace-time: shapes are static here
+                logger.warning(
+                    "global_negatives=False requested but batch %d is not "
+                    "divisible by %d data shards — computing GLOBAL "
+                    "negatives instead (different loss semantics, emits a "
+                    "cross-chip all-gather)", emb_img.shape[0], local_blocks)
             scores = score_fn(critic_params, emb_img, emb_txt)
             loss = bound_fn(scores, sids)
         return loss, mutated["batch_stats"]
@@ -247,9 +261,11 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"mi_epoch{epoch}.ckpt"),
                                 state._asdict(), format=ckpt_format)
     # reference save_pretrained writes the bert config next to the joint
-    # checkpoint (model.py:584); written unconditionally — the offline
-    # converter multi-host runs rely on reads its layer count from here
-    bert_config.to_json_file(os.path.join(save_dir, "config.json"))
+    # checkpoint (model.py:584); always written — the offline converter
+    # multi-host runs rely on reads its layer count from here — but by
+    # process 0 only (all processes share save_dir)
+    if jax.process_index() == 0:
+        bert_config.to_json_file(os.path.join(save_dir, "config.json"))
     if export_torch_bins and jax.process_count() > 1:
         # pod-sharded params are not fully addressable on any single host;
         # export .bins offline from the (orbax) native checkpoint instead
@@ -330,6 +346,16 @@ class MultiModalManager:
                 img_size=cfg.img_size,
                 compact=getattr(cfg, "compact_transfer", False))
         buckets = list(getattr(cfg, "seq_buckets", ()) or ()) or None
+        if buckets and max(buckets) < cfg.max_seq_length:
+            # a sample longer than the largest bucket would be SILENTLY
+            # truncated to it (pipeline._stack slices to the bucket
+            # length) — semantics the bucketing feature promises not to
+            # change.  Extend with a max-length bucket instead.
+            logger.warning(
+                "seq_buckets max %d < max_seq_length %d: adding a %d "
+                "bucket so longer reports keep their full tokens",
+                max(buckets), cfg.max_seq_length, cfg.max_seq_length)
+            buckets.append(cfg.max_seq_length)
         loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                         bucket_lengths=buckets,
                         num_workers=min(8, cfg.data_loader_workers),
@@ -343,7 +369,8 @@ class MultiModalManager:
         # remainder, so len(loader) would overcount — skewing both the
         # warmup schedule's t_total and resume epoch derivation.
         steps_per_epoch = max(1, loader.batches_per_epoch())
-        txs = make_optimizers(cfg, steps_per_epoch=steps_per_epoch)
+        txs = make_optimizers(cfg, steps_per_epoch=steps_per_epoch,
+                              num_epochs=num_epochs)
         start_epoch = 0
         if resume_from is None:
             state = create_mi_state(self.model, cfg, txs,
