@@ -39,6 +39,12 @@ def main():
                     help="override the BERT layer count (mi only)")
     args = ap.parse_args()
 
+    # offline tool: pin the CPU backend IN-PROCESS (an env var can be too
+    # late where sitecustomize pre-imports jax with an accelerator
+    # platform) — conversion restores to host numpy and needs no device
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     from mimm_tpu import checkpoint as ckpt
 
     tree = ckpt.load_checkpoint(args.ckpt)
