@@ -28,8 +28,10 @@ which reproduces the measured p50/p90/p99 above): 32.7% <=64,
 
 Production training chains cfg.scan_steps same-bucket steps into one
 device dispatch via lax.scan (train/mi.py make_mi_multi_step,
-data/pipeline.py scan_chunks); the bench measures that path (K=8) and
-also reports the single-dispatch step times per bucket.
+data/pipeline.py scan_chunks); the bench measures that path (K=8).
+Single-dispatch timing is reported ONLY for the 320 bucket (the
+reference-padding comparison): short-bucket single dispatches through
+the dev tunnel measure dispatch latency, not device time.
 
 The reference pads every report to max_seq_length=320
 (`main_utils.py:120`); `padded_seq320_pairs_per_sec` in the output is the
@@ -42,7 +44,7 @@ Baseline: the reference trains ~18 image-text pairs/sec on its single GPU
 Prints ONE JSON line:
   {"metric": "mi_train_pairs_per_sec", "value": N, "unit": "pairs/s",
    "vs_baseline": N/18, "padded_seq320_pairs_per_sec": M,
-   "per_bucket_ms": {...}, "per_bucket_ms_single_dispatch": {...}}
+   "per_bucket_ms": {...}}
 """
 
 import json

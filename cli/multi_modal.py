@@ -22,10 +22,10 @@ def train_mutual_information(cfg: TrainingConfig):
     from mimm_tpu.train.mi import MultiModalManager
 
     os.makedirs(cfg.save_directory, exist_ok=True)
-    logging.basicConfig(
-        filename=os.path.join(cfg.save_directory, "training_MI.log"),
-        level=logging.INFO, filemode="w",
-        format="%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M")
+    # NOT logging.basicConfig: it no-ops after the first run in a sweep
+    # process, routing later runs' records into the first run's file
+    from mimm_tpu.metrics import configure_run_logging
+    configure_run_logging(os.path.join(cfg.save_directory, "training_MI.log"))
     logger = logging.getLogger(__name__)
     logger.info("args: %s", cfg)
 
@@ -48,13 +48,11 @@ def train_mutual_information(cfg: TrainingConfig):
 
 
 def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
+    from mimm_tpu.metrics import configure_run_logging
     from mimm_tpu.train.classifier import ClassifierModelManager
 
-    logging.basicConfig(
-        filename=os.path.join(cfg.save_directory,
-                              f"training_classifier_{cfg.disease_label}.log"),
-        level=logging.INFO, filemode="w",
-        format="%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M")
+    configure_run_logging(os.path.join(
+        cfg.save_directory, f"training_classifier_{cfg.disease_label}.log"))
     manager = ClassifierModelManager(cfg, embed_fn, mlp_hidden_layers)
     return manager.train()
 

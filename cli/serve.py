@@ -105,7 +105,8 @@ def build_server(save_directory: str, port: int = 8321,
     from mimm_tpu.serve import InferenceSession
 
     if disease and classifier_layers is None:
-        classifier_layers = [1024, 512, 256, 128, 64, 32, 16]
+        from mimm_tpu.config import DEFAULT_CLASSIFIER_LAYERS
+        classifier_layers = list(DEFAULT_CLASSIFIER_LAYERS)
     session = InferenceSession(save_directory, batch_size=batch_size,
                                classifier_layers=classifier_layers,
                                disease=disease)

@@ -10,13 +10,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 
-from mimm_tpu.config import construct_training_parameters
+from mimm_tpu.config import (DEFAULT_CLASSIFIER_LAYERS,
+                             construct_training_parameters)
 
 CRITICS = ["dv"]            # reference train.py:17
 TRAINING_EPOCHS = [20]      # train.py:18
 BATCH_SIZES = [64]          # train.py:19
 DISEASES = ["Cardiomegaly", "Pneumonia"]            # train.py:50
-MLP_LAYERS = [[1024, 512, 256, 128, 64, 32, 16]]    # train.py:52
+MLP_LAYERS = [list(DEFAULT_CLASSIFIER_LAYERS)]      # train.py:52
 OPTIMIZERS = ["Adam"]                                # train.py:53
 LEARNING_RATES = [5e-4]                              # train.py:54
 

@@ -6,9 +6,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mimm_tpu.config import construct_training_parameters
+from mimm_tpu.config import (DEFAULT_CLASSIFIER_LAYERS,
+                             construct_training_parameters)
 
-MLP_LAYER = [1024, 512, 256, 128, 64, 32, 16]  # reference validate.py:155
+MLP_LAYER = list(DEFAULT_CLASSIFIER_LAYERS)  # reference validate.py:155
 
 
 def main():

@@ -52,6 +52,13 @@ class DatasetConfig:
     sub_folder: str = "p10"
 
 
+# The reference sweep's classifier MLP architecture (train.py:52,
+# validate.py:155) — the single source for the CLI sweep driver,
+# validation, serving, and the serve bench (they must agree or
+# checkpoint-apply fails with shape errors).
+DEFAULT_CLASSIFIER_LAYERS = (1024, 512, 256, 128, 64, 32, 16)
+
+
 @dataclass(frozen=True)
 class TrainingConfig:
     """Training flags (reference helpers.py:84-144), plus TPU-native knobs.

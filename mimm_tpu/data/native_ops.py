@@ -35,6 +35,27 @@ _U16 = ctypes.POINTER(ctypes.c_uint16)
 _I64 = ctypes.c_int64
 
 
+_MARKER_PATH = _LIB_PATH + ".buildhost"
+
+
+def _host_isa_id() -> str:
+    """Fingerprint of this host's ISA: the .so is compiled -march=native,
+    so a binary copied/synced from a different CPU could SIGILL mid-
+    training (uncatchable) — get_lib rebuilds on fingerprint mismatch."""
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(f"{platform.machine()}|{flags}".encode()).hexdigest()
+
+
 def _build() -> bool:
     src = os.path.join(_NATIVE_DIR, "mimm_host.cpp")
     if not os.path.exists(src):
@@ -43,10 +64,22 @@ def _build() -> bool:
         subprocess.run(["g++", "-O3", "-march=native", "-fPIC", "-shared",
                         "-o", _LIB_PATH, src], check=True,
                        capture_output=True, timeout=120)
+        with open(_MARKER_PATH, "w") as f:
+            f.write(_host_isa_id())
         return True
     except Exception as e:  # no g++, sandboxed, etc. — fall back to numpy
         logger.warning("native build failed (%s); using numpy host ops", e)
         return False
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        with open(_MARKER_PATH) as f:
+            return f.read().strip() != _host_isa_id()
+    except OSError:
+        return True  # no marker: unknown build host — don't risk SIGILL
 
 
 def get_lib():
@@ -55,7 +88,7 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        if _needs_rebuild() and not _build():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

@@ -160,6 +160,26 @@ def gdv_calculation(positive_embeddings, negative_embeddings) -> float:
 # Structured metric writer
 # ---------------------------------------------------------------------------
 
+def configure_run_logging(filename: str) -> None:
+    """Point the ROOT logger's file output at this run's log file.
+
+    ``logging.basicConfig`` is a no-op once any handler exists, so sweep
+    drivers calling it per run would append every later run's records
+    into the FIRST run's file.  This helper removes previously attached
+    root FileHandlers and installs a fresh one (reference log format,
+    ``filemode='w'`` semantics preserved)."""
+    root = logging.getLogger()
+    for h in list(root.handlers):
+        if isinstance(h, logging.FileHandler):
+            root.removeHandler(h)
+            h.close()
+    handler = logging.FileHandler(filename, mode="w")
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s - %(name)s %(message)s", datefmt="%m-%d %H:%M"))
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+
+
 class MetricWriter:
     """Writes scalars to <save_dir>/<name>.jsonl and mirrors epoch summaries
     into a reference-format python logger (log-file diffable vs the

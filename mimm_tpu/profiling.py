@@ -8,7 +8,8 @@ The reference's only observability is per-epoch wall-clock logging
 * ``StepTimer`` — cheap per-step wall timing with pairs/sec accounting and
   JSONL emission through MetricWriter.
 * ``debug_mode()`` — enables NaN checking (``jax_debug_nans``) and disables
-  donation-unfriendly optimizations for bitwise replay debugging.
+  NaN checking for debugging (jax_debug_nans; see debug_mode's note on
+  donated buffers).
 * ``annotate(name)`` — ``jax.profiler.TraceAnnotation`` wrapper so pipeline
   stages show up in traces.
 """
@@ -39,7 +40,12 @@ def annotate(name: str):
 
 @contextlib.contextmanager
 def debug_mode(nan_checks: bool = True) -> Iterator[None]:
-    """NaN-checking + deterministic-friendly debugging context."""
+    """NaN-checking debugging context (toggles ``jax_debug_nans``).
+
+    NOTE: this does NOT undo buffer donation — re-running a step whose
+    inputs a jitted fn donated (make_mi_train_step, donate_argnums=0)
+    still fails with a deleted-buffer error; rebuild the step without
+    donation (make_mi_step_body + plain jax.jit) for replay debugging."""
     prev = jax.config.jax_debug_nans
     if nan_checks:
         jax.config.update("jax_debug_nans", True)

@@ -2,10 +2,17 @@
 
 Times each piece of the MI train step in isolation — image tower
 (ResNet fwd+bwd+Adam), text tower (BERT fwd+bwd+AdamW) per sequence
-bucket, and the pairwise critic (scores + DV bound fwd+bwd+Adam) — using
-the same sustained-dispatch methodology as bench.py (chained state, one
-device->host read at the end; per-step reads would add a ~25-40 ms
-tunnel round trip each).
+bucket, and the pairwise critic (scores + DV bound fwd+bwd+Adam) —
+chaining state across steps with one device->host read at the end.
+
+CAVEAT (learned after this tool was written): the chained steps here are
+still ONE DISPATCH PER STEP, so components under ~10 ms (the critic,
+short-bucket towers) measure tunnel dispatch throughput, not device
+time — 1.7x run-to-run swings were observed on unchanged code.  For
+device-bound numbers use the lax.scan-chained paths: bench.py
+(full step per bucket), tools/bench_critic.py, tools/bench_image_tower.py.
+This tool remains useful for the LONG components (BERT at L>=192) and
+for relative regressions at fixed tunnel weather.
 
 Output: one JSON line with per-component ms so perf work targets the
 real floor (ROUND1.md: image tower suspected ~1/3 of the short-bucket

@@ -52,8 +52,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# keep in sync with bench.py (the headline measures this mix)
-BUCKET_MIX = {64: 0.327, 96: 0.391, 128: 0.182, 192: 0.082, 320: 0.018}
+# the headline bench's bucket mix — imported, not copied, so a rederived
+# mix (tools/derive_buckets.py) can never leave this floor comparison
+# computed against a different distribution
+from bench import BUCKET_MIX  # noqa: E402  (bench.py top-level is light)
 # bench.py per-bucket scan-dispatch ms on the v5e chip (2026-08-17 run);
 # override with --bench_bucket_ms from a fresh bench.py line
 BENCH_BUCKET_MS = {64: 27.9, 96: 34.3, 128: 42.3, 192: 81.7, 320: 127.2}
@@ -147,6 +149,10 @@ def main():
                          '\'{"64":27.9,"96":34.3,...}\'')
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
+    if args.epochs < 3:
+        ap.error("--epochs must be >= 3: epoch 1 pays the compiles, the "
+                 "last pays the mandatory final checkpoint; only a MIDDLE "
+                 "epoch measures the steady state")
     bench_ms = {int(k): float(v)
                 for k, v in (args.bench_bucket_ms or BENCH_BUCKET_MS).items()}
 

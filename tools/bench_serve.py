@@ -48,7 +48,8 @@ def main():
 
     from mimm_tpu.serve import InferenceSession
 
-    layers = [1024, 512, 256, 128, 64, 32, 16] if args.disease else None
+    from mimm_tpu.config import DEFAULT_CLASSIFIER_LAYERS
+    layers = list(DEFAULT_CLASSIFIER_LAYERS) if args.disease else None
     session = InferenceSession(args.save_directory, batch_size=BATCH,
                                classifier_layers=layers, disease=args.disease)
     rng = np.random.default_rng(0)
