@@ -191,6 +191,20 @@ class TrainingConfig:
     # which reorders batches WITHIN an epoch (equivalent to a different
     # shuffle; every batch is still consumed exactly once).
     scan_steps: int = 1
+    # Mirror every MetricWriter scalar into TensorBoard event files under
+    # <save_directory>/tb/<run>/ (mimm_tpu/tbevents.py — dependency-free
+    # tfevents encoding, loadable by stock TensorBoard).  JSONL + the
+    # reference-format .log files are always written; this adds the
+    # optional TensorBoard mirror SURVEY.md §5 calls for.
+    tensorboard: bool = False
+    # Megatron-style SEQUENCE PARALLELISM for the text tower (requires a
+    # 'model' mesh axis, i.e. tensor parallelism active): activations in
+    # the LayerNorm/dropout/residual regions are sharded along the
+    # sequence axis over 'model' (GSPMD turns each TP all-reduce into a
+    # reduce-scatter + all-gather pair and the elementwise passes shard
+    # too).  Same math — equivalence-tested against the replicated step
+    # (tests/test_sharding.py).  No reference counterpart (single-device).
+    sequence_parallel: bool = False
     # Native checkpoint serialization: "pickle" (single file, one host),
     # "orbax" (directory; every process writes its own shards — required
     # and auto-forced for multi-host runs), or "orbax_async" (orbax with

@@ -183,10 +183,14 @@ def configure_run_logging(filename: str) -> None:
 class MetricWriter:
     """Writes scalars to <save_dir>/<name>.jsonl and mirrors epoch summaries
     into a reference-format python logger (log-file diffable vs the
-    reference's committed trajectories)."""
+    reference's committed trajectories).  ``tensorboard=True`` additionally
+    emits every numeric scalar as a TensorBoard event under
+    <save_dir>/tb/<name>/ (mimm_tpu.tbevents — dependency-free tfevents
+    encoding; SURVEY.md §5's 'JSONL + optional TensorBoard')."""
 
     def __init__(self, save_directory: str, name: str = "metrics",
-                 log_filename: Optional[str] = None):
+                 log_filename: Optional[str] = None,
+                 tensorboard: bool = False):
         os.makedirs(save_directory, exist_ok=True)
         self.save_directory = save_directory
         self.jsonl_path = os.path.join(save_directory, f"{name}.jsonl")
@@ -201,6 +205,11 @@ class MetricWriter:
         except Exception:
             pass
         self._fh = open(self.jsonl_path, "a") if self._primary else None
+        self._tb = None
+        if tensorboard and self._primary:
+            from mimm_tpu.tbevents import TBEventWriter
+            self._tb = TBEventWriter(os.path.join(save_directory, "tb", name))
+        self._tb_step = 0  # fallback ordinal when a record carries no step
         self.logger = logging.getLogger(f"mimm_tpu.{name}")
         self._handler = None
         if log_filename is not None and self._primary:
@@ -221,6 +230,16 @@ class MetricWriter:
                     for k, v in scalars.items()})
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            # epoch-level records (epoch_summary) carry their ordinal as an
+            # 'epoch' scalar rather than the step argument
+            tb_step = step if step is not None else \
+                int(rec.get("epoch", self._tb_step))
+            self._tb_step = tb_step + 1
+            for k, v in rec.items():
+                if k not in ("time", "step") and isinstance(v, (int, float)):
+                    self._tb.scalar(k, v, tb_step, wall_time=rec["time"])
+            self._tb.flush()
 
     def epoch_summary(self, epoch: int, loss: float, seconds: float,
                       checkpoint_path: Optional[str] = None) -> None:
@@ -234,6 +253,8 @@ class MetricWriter:
     def close(self) -> None:
         if self._fh is not None:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
         if self._handler is not None:
             # detach: a second run in the same process would otherwise log
             # every line into BOTH files, N times after N runs

@@ -35,6 +35,25 @@ def _dropout(cfg, rate: float):
     return PackedDropout(rate) if cfg.packed_dropout else nn.Dropout(rate)
 
 
+def _sp(x, sharding):
+    """Megatron-style sequence-parallel activation constraint: pin a
+    (B, L, H) activation to ``sharding`` (sequence axis over the 'model'
+    mesh axis, parallel/mesh.py seq_sharding).  Placed at the LayerNorm/
+    dropout/residual regions, it makes GSPMD lower each tensor-parallel
+    all-reduce into reduce-scatter + all-gather and shards the elementwise
+    passes.  No-op (None) outside an SP run — eval, serving, single-chip.
+    Also a no-op when a constrained dimension is not divisible by its mesh
+    axis (e.g. the batch-1 trace inside model.init) — shapes are static at
+    trace time, so this never hides a runtime mis-shard."""
+    if sharding is None:
+        return x
+    axis_size = dict(sharding.mesh.shape)
+    for dim, name in enumerate(sharding.spec):
+        if name is not None and x.shape[dim] % axis_size[name] != 0:
+            return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 @dataclasses.dataclass(frozen=True)
 class BertConfig:
     """Mirror of pytorch_transformers BertConfig fields used by the reference."""
@@ -210,6 +229,9 @@ class BertSelfAttention(nn.Module):
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
+    # sequence-parallel activation sharding (parallel/mesh.py seq_sharding);
+    # None = no constraint (single-chip, eval, plain TP)
+    sp_sharding: Any = None
 
     @nn.compact
     def __call__(self, hidden, attn_bias, deterministic: bool = True):
@@ -223,8 +245,13 @@ class BertLayer(nn.Module):
             hidden, attn_bias, deterministic=deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
                             name="attention_output")(attn_out)
-        attn_out = drop(attn_out, deterministic=deterministic)
-        hidden = ln("attention_layernorm")(hidden + attn_out)
+        # SP: constrain the row-parallel projection output to seq-sharded —
+        # GSPMD emits a reduce-scatter here instead of an all-reduce, and
+        # the dropout + residual + LN below run on 1/tp of the tokens.
+        attn_out = _sp(drop(attn_out, deterministic=deterministic),
+                       self.sp_sharding)
+        hidden = _sp(ln("attention_layernorm")(hidden + attn_out),
+                     self.sp_sharding)
 
         if cfg.fused_ffn and cfg.gelu_tanh:
             from mimm_tpu.ops.fused_ffn import fused_ffn
@@ -244,8 +271,8 @@ class BertLayer(nn.Module):
             inter = nn.gelu(inter, approximate=cfg.gelu_tanh)
             out = nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
                            name="output")(inter)
-        out = drop(out, deterministic=deterministic)
-        return ln("output_layernorm")(hidden + out)
+        out = _sp(drop(out, deterministic=deterministic), self.sp_sharding)
+        return _sp(ln("output_layernorm")(hidden + out), self.sp_sharding)
 
 
 class BertModel(nn.Module):
@@ -253,6 +280,7 @@ class BertModel(nn.Module):
 
     config: BertConfig
     dtype: Any = jnp.float32
+    sp_sharding: Any = None  # sequence-parallel constraint, see BertLayer
 
     @nn.compact
     def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
@@ -276,14 +304,16 @@ class BertModel(nn.Module):
         hidden = word + pos + tok
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                               name="embeddings_layernorm")(hidden)
-        hidden = _dropout(cfg, cfg.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        hidden = _sp(_dropout(cfg, cfg.hidden_dropout_prob)(
+            hidden, deterministic=deterministic), self.sp_sharding)
 
         # (B, 1, 1, S) additive mask, -10000 on padding (pytorch_transformers parity)
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(self.dtype)) * -10000.0
 
         layer_cls = nn.remat(BertLayer, static_argnums=(3,)) if cfg.remat else BertLayer
         for i in range(cfg.num_hidden_layers):
-            hidden = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}")(
+            hidden = layer_cls(cfg, dtype=self.dtype, name=f"layer{i}",
+                               sp_sharding=self.sp_sharding)(
                 hidden, attn_bias, deterministic)
 
         cls = hidden[:, 0]
@@ -299,11 +329,13 @@ class TextBert(nn.Module):
 
     config: BertConfig
     dtype: Any = jnp.float32
+    sp_sharding: Any = None  # sequence-parallel constraint, see BertLayer
 
     @nn.compact
     def __call__(self, input_ids, token_type_ids=None, attention_mask=None,
                  *, deterministic: bool = True):
-        _, pooled = BertModel(self.config, dtype=self.dtype, name="bert")(
+        _, pooled = BertModel(self.config, dtype=self.dtype, name="bert",
+                              sp_sharding=self.sp_sharding)(
             input_ids, token_type_ids, attention_mask, deterministic=deterministic)
         pooled = pooled.astype(jnp.promote_types(pooled.dtype, jnp.float32))
         dropped = _dropout(self.config, self.config.hidden_dropout_prob)(

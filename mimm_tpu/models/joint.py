@@ -31,13 +31,18 @@ class ImageReportModel(nn.Module):
     # — safe to toggle between runs.
     s2d_stem: bool = False
     pallas_stem: bool = False
+    # sequence-parallel activation sharding for the text tower
+    # (parallel/mesh.py seq_sharding); None = no constraint.  Execution
+    # knob only — params/checkpoints are identical either way.
+    sp_sharding: Any = None
 
     def setup(self):
         self.image_model = ResNet256_6_2_1(output_channels=self.output_channels,
                                            dtype=self.dtype,
                                            s2d_stem=self.s2d_stem,
                                            pallas_stem=self.pallas_stem)
-        self.text_model = TextBert(self.bert_config, dtype=self.dtype)
+        self.text_model = TextBert(self.bert_config, dtype=self.dtype,
+                                   sp_sharding=self.sp_sharding)
 
     def __call__(self, img, txt_ids, txt_masks=None, txt_segments=None,
                  *, train: bool = False):

@@ -162,6 +162,26 @@ def replicate(mesh: Mesh, tree):
     return put_global(tree, replicated(mesh), full=True)
 
 
+def seq_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """Activation sharding for Megatron-style SEQUENCE PARALLELISM in the
+    text tower: (B, L, H) activations in the LayerNorm/dropout/residual
+    regions shard the sequence axis over 'model' (batch stays on 'data').
+    GSPMD then lowers each tensor-parallel all-reduce at a row-parallel
+    boundary into a reduce-scatter + (all-gather before the next
+    column-parallel matmul), and the elementwise LN/dropout work shards
+    over 'model' instead of being replicated.  Returns None when the mesh
+    has no 'model' axis (SP without TP has no all-reduce to split).
+
+    No reference counterpart (the reference is single-device, SURVEY.md
+    §2); pipeline/expert parallelism are deliberately absent — a 12-layer
+    BERT-base + 6-block ResNet has no pipeline depth or MoE structure to
+    shard, so dp x tp(+sp) is the whole useful mesh for this model family.
+    """
+    if MODEL_AXIS not in mesh.axis_names:
+        return None
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
+
+
 def bert_tp_shardings(mesh: Mesh, text_params):
     """Tensor-parallel PartitionSpecs for the TextBert param tree over
     'model' (Megatron-style; no reference counterpart — the reference is

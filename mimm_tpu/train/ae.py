@@ -94,7 +94,8 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
     os.makedirs(cfg.save_directory, exist_ok=True)
     writer = MetricWriter(cfg.save_directory, name="ae",
-                          log_filename="training_AE.log")
+                          log_filename="training_AE.log",
+                          tensorboard=getattr(cfg, "tensorboard", False))
     mesh = mesh or mesh_lib.make_mesh(dict(cfg.mesh_shape) or None)
     num_epochs = num_epochs or cfg.num_train_epochs
 

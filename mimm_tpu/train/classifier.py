@@ -173,7 +173,8 @@ class ClassifierModelManager:
         os.makedirs(cfg.save_directory, exist_ok=True)
         writer = MetricWriter(
             cfg.save_directory, name=f"classifier_{cfg.disease_label}",
-            log_filename=f"training_classifier_{cfg.disease_label}.log")
+            log_filename=f"training_classifier_{cfg.disease_label}.log",
+            tensorboard=getattr(cfg, "tensorboard", False))
 
         steps_per_epoch = max(1, len(self.train_loader))
         sched = exponential_epoch_schedule(cfg.init_lr, 0.9, steps_per_epoch)

@@ -86,13 +86,20 @@ def load_bert_config(cfg) -> BertConfig:
     return BertConfig(**overrides)
 
 
-def build_joint_model(cfg, bert_config: Optional[BertConfig] = None
-                      ) -> ImageReportModel:
+def build_joint_model(cfg, bert_config: Optional[BertConfig] = None,
+                      mesh=None) -> ImageReportModel:
+    """``mesh``: pass the training mesh to activate cfg.sequence_parallel
+    (needs a 'model' axis; seq_sharding returns None otherwise).  The
+    module is an execution schedule only — params/checkpoints are
+    identical with or without SP."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    sp = mesh_lib.seq_sharding(mesh) \
+        if mesh is not None and getattr(cfg, "sequence_parallel", False) else None
     return ImageReportModel(bert_config=bert_config or load_bert_config(cfg),
                             output_channels=cfg.output_channels, dtype=dtype,
                             s2d_stem=getattr(cfg, "s2d_stem", False),
-                            pallas_stem=getattr(cfg, "pallas_stem", False))
+                            pallas_stem=getattr(cfg, "pallas_stem", False),
+                            sp_sharding=sp)
 
 
 def make_optimizers(cfg, steps_per_epoch: int,
@@ -336,9 +343,15 @@ class MultiModalManager:
         cfg = self.cfg
         os.makedirs(cfg.save_directory, exist_ok=True)
         writer = MetricWriter(cfg.save_directory, name="mi",
-                              log_filename="training_MI.log")
+                              log_filename="training_MI.log",
+                              tensorboard=getattr(cfg, "tensorboard", False))
         mesh = mesh or mesh_lib.make_mesh(dict(cfg.mesh_shape) or None)
         num_epochs = num_epochs or cfg.num_train_epochs
+        if getattr(cfg, "sequence_parallel", False) and \
+                mesh_lib.seq_sharding(mesh) is not None:
+            # rebuild with the SP activation constraints bound to this
+            # mesh (same params/checkpoints — execution schedule only)
+            self.model = build_joint_model(cfg, self.bert_config, mesh=mesh)
 
         if dataset is None:
             dataset = CXRImageReportDataset(

@@ -159,3 +159,31 @@ def test_checkpoint_version_envelope(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         ckpt.load_checkpoint(newer)
+
+
+def test_metric_writer_tensorboard_roundtrip(tmp_path):
+    """MetricWriter(tensorboard=True) must produce tfevents files stock
+    TensorBoard can read (mimm_tpu/tbevents.py encodes TFRecord + Event
+    protos by hand — masked crc32c and all — so the round-trip through
+    tensorboard's own event_accumulator is the correctness oracle)."""
+    ea_mod = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator")
+    from mimm_tpu.metrics import MetricWriter
+
+    w = MetricWriter(str(tmp_path), name="mi", log_filename=None,
+                     tensorboard=True)
+    w.write(step=1, loss=-12.5, lr=2e-5)
+    w.write(step=2, loss=-13.25)
+    w.epoch_summary(1, -13.0, 4.2)   # step from the 'epoch' scalar
+    w.close()
+
+    acc = ea_mod.EventAccumulator(str(tmp_path / "tb" / "mi"))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"loss", "lr", "epoch_loss", "epoch_seconds"} <= tags
+    losses = {e.step: e.value for e in acc.Scalars("loss")}
+    assert losses == {1: -12.5, 2: -13.25}
+    epoch_loss = acc.Scalars("epoch_loss")
+    assert epoch_loss[0].step == 1 and epoch_loss[0].value == -13.0
+    # JSONL still written alongside
+    assert (tmp_path / "mi.jsonl").exists()

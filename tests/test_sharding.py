@@ -201,6 +201,44 @@ def test_bert_tp_full_step_matches_replicated():
                                rtol=5e-4, atol=5e-5)
 
 
+def test_bert_tp_sp_full_step_matches_replicated():
+    """Sequence parallelism on top of TP (cfg.sequence_parallel: the text
+    tower's LN/dropout-region activations seq-sharded over 'model',
+    models/bert.py _sp): the full MI train step must produce the same loss
+    as the fully replicated step — the SP constraints change only where
+    GSPMD places collectives, never the math.  threefry RNG: partitionable
+    key derivation makes the dropout masks identical no matter how the
+    activation they cover is sharded."""
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0,
+        sequence_parallel=True, rng_impl="threefry2x32")
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    model1 = build_joint_model(cfg, TINY_BERT)  # no mesh -> no SP constraint
+    step1 = make_mi_train_step(model1, txs, cfg)
+    s1 = mesh_lib.replicate(mesh1,
+                            create_mi_state(model1, cfg, txs, jax.random.PRNGKey(0)))
+    s1, loss1 = step1(s1, mesh_lib.shard_batch(mesh1, batch))
+
+    mesh_sp = mesh_lib.make_mesh({"data": 2, "model": 2})
+    model_sp = build_joint_model(cfg, TINY_BERT, mesh=mesh_sp)
+    assert model_sp.sp_sharding is not None  # SP is actually active
+    step_sp = make_mi_train_step(model_sp, txs, cfg)
+    s_sp = mesh_lib.shard_mi_state(
+        mesh_sp, create_mi_state(model_sp, cfg, txs, jax.random.PRNGKey(0)))
+    s_sp, loss_sp = step_sp(s_sp, mesh_lib.shard_batch(mesh_sp, batch))
+
+    np.testing.assert_allclose(float(loss_sp), float(loss1), rtol=1e-5, atol=1e-6)
+    _, loss1b = step1(s1, mesh_lib.shard_batch(mesh1, batch))
+    _, loss_spb = step_sp(s_sp, mesh_lib.shard_batch(mesh_sp, batch))
+    np.testing.assert_allclose(float(loss_spb), float(loss1b),
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_bert_tp_multi_step_scan_matches_single_steps():
     """Production combines scan dispatch (make_mi_multi_step) with the
     sharded state; with a TP text tower the lax.scan carry must preserve
