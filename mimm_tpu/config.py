@@ -197,6 +197,16 @@ class TrainingConfig:
     # reference-format .log files are always written; this adds the
     # optional TensorBoard mirror SURVEY.md §5 calls for.
     tensorboard: bool = False
+    # GradCache two-pass MI step (train/mi.py grad_cache_body): split the
+    # batch into this many chunks, embed chunk-at-a-time (activations
+    # freed between chunks), compute the full-batch (B, B) pairing loss on
+    # the tiny embedding tables, then pull the embedding cotangents back
+    # through a second chunked pass.  Negative pool spans the FULL batch
+    # while tower activation memory is O(B / chunks) — contrastive batch
+    # size is no longer bounded by HBM (~1.5x step compute).  1 = direct
+    # single-pass step.  Composes with scan_steps and the mesh axes; each
+    # chunk has DP-replica semantics (per-chunk BatchNorm/dropout keys).
+    grad_cache_chunks: int = 1
     # Megatron-style SEQUENCE PARALLELISM for the text tower (requires a
     # 'model' mesh axis, i.e. tensor parallelism active): activations in
     # the LayerNorm/dropout/residual regions are sharded along the

@@ -180,6 +180,7 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
     use_pallas = getattr(cfg, "use_pallas_critic", False)
     local_blocks = 1 if getattr(cfg, "global_negatives", True) \
         else max(1, int(data_shards))
+    grad_cache = max(1, int(getattr(cfg, "grad_cache_chunks", 1)))
 
     def score_fn(critic_params, emb_img, emb_txt):
         if use_pallas:
@@ -196,9 +197,30 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
             return critics_lib.infonce_per_anchor(scores, sids)
         raise ValueError(f"unknown mi estimator: {estimator}")
 
-    def mi_loss(joint_params, critic_params, batch_stats, batch, dropout_rng):
-        # compact-transfer batches arrive as integer crops + narrow token
-        # dtypes; widen/normalize on device (exact — ops/image_norm.py)
+    def loss_from_embeddings(critic_params, emb_img, emb_txt, sids):
+        """Embeddings -> bound.  Shared by the direct body and the
+        grad-cache body (the pairing/critic/bound stage is identical —
+        only how embedding gradients reach the towers differs)."""
+        if local_blocks > 1 and emb_img.shape[0] % local_blocks == 0:
+            n, b = local_blocks, emb_img.shape[0] // local_blocks
+            ei = emb_img.reshape(n, b, emb_img.shape[-1])
+            et = emb_txt.reshape(n, b, emb_txt.shape[-1])
+            si = sids.reshape(n, b)
+            scores = jax.vmap(lambda a, c: score_fn(critic_params, a, c))(ei, et)
+            return jnp.mean(jax.vmap(bound_fn)(scores, si))
+        if local_blocks > 1:  # trace-time: shapes are static here
+            logger.warning(
+                "global_negatives=False requested but batch %d is not "
+                "divisible by %d data shards — computing GLOBAL "
+                "negatives instead (different loss semantics, emits a "
+                "cross-chip all-gather)", emb_img.shape[0], local_blocks)
+        scores = score_fn(critic_params, emb_img, emb_txt)
+        return bound_fn(scores, sids)
+
+    def embed(joint_params, batch_stats, batch, dropout_rng):
+        """One tower forward: (compact) batch -> (emb_img, emb_txt), new
+        batch_stats.  decompact here so grad-cache chunks never widen more
+        than one chunk of images at a time."""
         batch = decompact_batch(batch)
         outputs, mutated = model.apply(
             {"params": joint_params, "batch_stats": batch_stats},
@@ -206,35 +228,20 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
             batch["txt_segments"], train=True,
             rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
         emb_img, emb_txt, _, _ = outputs
-        sids = batch["study_id"]
-        if local_blocks > 1 and emb_img.shape[0] % local_blocks == 0:
-            n, b = local_blocks, emb_img.shape[0] // local_blocks
-            ei = emb_img.reshape(n, b, emb_img.shape[-1])
-            et = emb_txt.reshape(n, b, emb_txt.shape[-1])
-            si = sids.reshape(n, b)
-            scores = jax.vmap(lambda a, c: score_fn(critic_params, a, c))(ei, et)
-            loss = jnp.mean(jax.vmap(bound_fn)(scores, si))
-        else:
-            if local_blocks > 1:  # trace-time: shapes are static here
-                logger.warning(
-                    "global_negatives=False requested but batch %d is not "
-                    "divisible by %d data shards — computing GLOBAL "
-                    "negatives instead (different loss semantics, emits a "
-                    "cross-chip all-gather)", emb_img.shape[0], local_blocks)
-            scores = score_fn(critic_params, emb_img, emb_txt)
-            loss = bound_fn(scores, sids)
-        return loss, mutated["batch_stats"]
+        return (emb_img, emb_txt), mutated["batch_stats"]
 
-    def step_body(state: MITrainState, batch):
-        base_key = jax.random.key(cfg.seed,
-                                  impl=getattr(cfg, "rng_impl", "threefry2x32"))
-        dropout_rng = jax.random.fold_in(base_key, state.step)
-        (loss, new_bs), grads = jax.value_and_grad(mi_loss, argnums=(0, 1),
-                                                   has_aux=True)(
-            state.params, state.critic_params, state.batch_stats, batch,
-            dropout_rng)
-        joint_g, critic_g = grads
+    def mi_loss(joint_params, critic_params, batch_stats, batch, dropout_rng):
+        (emb_img, emb_txt), new_bs = embed(joint_params, batch_stats, batch,
+                                           dropout_rng)
+        # study_id passes through decompact_batch untouched (_WIDEN covers
+        # only token arrays) — read it straight off the input batch
+        loss = loss_from_embeddings(critic_params, emb_img, emb_txt,
+                                    batch["study_id"])
+        return loss, new_bs
 
+    def finish_step(state: MITrainState, loss, joint_g, critic_g, new_bs):
+        """Three-optimizer tail (reference main_utils.py:226-230), shared
+        by both bodies."""
         img_u, img_opt = txs.img.update(joint_g["image_model"], state.img_opt,
                                         state.params["image_model"])
         txt_u, txt_opt = txs.txt.update(joint_g["text_model"], state.txt_opt,
@@ -249,6 +256,95 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
                             txt_opt, state.step + 1), loss
 
+    def step_body(state: MITrainState, batch):
+        base_key = jax.random.key(cfg.seed,
+                                  impl=getattr(cfg, "rng_impl", "threefry2x32"))
+        dropout_rng = jax.random.fold_in(base_key, state.step)
+        (loss, new_bs), grads = jax.value_and_grad(mi_loss, argnums=(0, 1),
+                                                   has_aux=True)(
+            state.params, state.critic_params, state.batch_stats, batch,
+            dropout_rng)
+        joint_g, critic_g = grads
+        return finish_step(state, loss, joint_g, critic_g, new_bs)
+
+    def grad_cache_body(state: MITrainState, batch):
+        """GradCache two-pass step (Gao et al. 2021, "Scaling Deep
+        Contrastive Learning Batch Size under Memory Limited Setup"):
+
+        1. chunked no-grad forward — embeddings only, activations freed
+           per chunk (lax.scan over ``grad_cache_chunks`` chunks);
+        2. full-batch pairing + bound on the tiny (B, 768) embedding
+           tables; gradients w.r.t. the critic AND the embeddings;
+        3. chunked VJP re-forward — each chunk's tower activations are
+           rebuilt, the cached embedding cotangents are pulled back to
+           parameter space, and gradients accumulate across chunks.
+
+        The (B, B) negative pool spans the FULL batch while tower
+        activation memory is O(B / chunks): contrastive batch size is no
+        longer bounded by HBM.  Compute cost is one extra tower forward
+        (~1.5x a direct step).  Chunk semantics match a data-parallel
+        replica (per-chunk BatchNorm statistics and dropout keys; running
+        stats are the cross-chunk mean) — the same semantics the
+        reference's batch-64 BN has at chunk size 64 (SURVEY.md §7
+        "BatchNorm under pjit").  Gradient-exactness vs direct autodiff
+        through the identical chunked forward is proven in
+        tests/test_grad_cache.py.  No reference counterpart.
+        """
+        n = grad_cache
+        if batch["image"].shape[0] % n:  # trace-time: shapes are static
+            logger.warning(
+                "grad_cache_chunks=%d does not divide batch %d — falling "
+                "back to the direct (single-pass) step for this batch "
+                "shape", n, batch["image"].shape[0])
+            return step_body(state, batch)
+        base_key = jax.random.key(cfg.seed,
+                                  impl=getattr(cfg, "rng_impl", "threefry2x32"))
+        step_key = jax.random.fold_in(base_key, state.step)
+        chunks = jax.tree.map(
+            lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]), batch)
+        chunk_keys = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(
+            jnp.arange(n))
+
+        # pass 1: embeddings, no differentiation — scan keeps live
+        # activations bounded to one chunk
+        def p1(_, xs):
+            chunk, key = xs
+            embs, bs = embed(state.params, state.batch_stats, chunk, key)
+            return 0, (embs, bs)
+        _, ((emb_img_c, emb_txt_c), bs_stack) = jax.lax.scan(
+            p1, 0, (chunks, chunk_keys))
+        # running stats: cross-chunk mean of each chunk's update (each
+        # chunk saw the SAME input stats, like unsynced DP replicas later
+        # averaged)
+        new_bs = jax.tree.map(lambda x: jnp.mean(x, axis=0), bs_stack)
+        emb_img = emb_img_c.reshape((-1,) + emb_img_c.shape[2:])
+        emb_txt = emb_txt_c.reshape((-1,) + emb_txt_c.shape[2:])
+        sids = batch["study_id"]  # untouched by decompact_batch
+
+        # pairing + bound on the embedding tables: cheap full-batch pass
+        loss, (critic_g, g_ei, g_et) = jax.value_and_grad(
+            loss_from_embeddings, argnums=(0, 1, 2))(
+            state.critic_params, emb_img, emb_txt, sids)
+
+        # pass 2: pull embedding cotangents back through each chunk's
+        # towers; accumulate parameter gradients across chunks
+        g_ei_c = g_ei.reshape(emb_img_c.shape).astype(emb_img_c.dtype)
+        g_et_c = g_et.reshape(emb_txt_c.shape).astype(emb_txt_c.dtype)
+        zero_g = jax.tree.map(jnp.zeros_like, state.params)
+
+        def p2(acc, xs):
+            chunk, key, gi, gt = xs
+            _, vjp_fn, _ = jax.vjp(
+                lambda p: embed(p, state.batch_stats, chunk, key),
+                state.params, has_aux=True)
+            (pg,) = vjp_fn((gi, gt))
+            return jax.tree.map(jnp.add, acc, pg), None
+        joint_g, _ = jax.lax.scan(p2, zero_g, (chunks, chunk_keys,
+                                               g_ei_c, g_et_c))
+        return finish_step(state, loss, joint_g, critic_g, new_bs)
+
+    if grad_cache > 1:
+        return grad_cache_body
     return step_body
 
 

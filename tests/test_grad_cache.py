@@ -1,0 +1,168 @@
+"""GradCache two-pass MI step (cfg.grad_cache_chunks, train/mi.py
+grad_cache_body): the chunked embed -> full-batch pairing -> chunked VJP
+pipeline must be GRADIENT-EXACT against direct autodiff through the
+identical chunked forward.  The capability it proves: the (B, B) negative
+pool spans the full batch while tower activation memory is O(B / chunks)
+— contrastive batch size beyond HBM (no reference counterpart; the
+reference is activation-bound at B=64, main_utils.py:127)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mimm_tpu.config import TrainingConfig
+from mimm_tpu.models.bert import BertConfig
+from mimm_tpu.objectives import critics as critics_lib
+from mimm_tpu.objectives.pairing import pairwise_critic_scores
+from mimm_tpu.train.mi import (MITrainState, build_joint_model,
+                               create_mi_state, make_mi_step_body,
+                               make_mi_train_step, make_optimizers)
+
+TINY_BERT = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=64,
+                       max_position_embeddings=32, num_classes=1)
+
+
+def _cfg(**kw):
+    return TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0,
+        rng_impl="threefry2x32", **kw)
+
+
+def _make_batch(B, img_size, seq, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": jnp.asarray(rng.random((B, img_size, img_size, 1), np.float32)),
+        "txt_ids": jnp.asarray(rng.integers(0, 64, (B, seq)).astype(np.int32)),
+        "txt_masks": jnp.ones((B, seq), jnp.int32),
+        "txt_segments": jnp.zeros((B, seq), jnp.int32),
+        "study_id": jnp.asarray(np.arange(B, dtype=np.int64)),
+    }
+
+
+def _oracle_step(model, txs, cfg, state, batch, n):
+    """Direct autodiff through the SAME chunked forward the grad-cache
+    body runs (same per-chunk dropout keys, same BatchNorm semantics,
+    same pairing) — full-memory, one backward through everything.  An
+    independent re-implementation: model.apply + critics called directly,
+    optimizer tail replicated from the reference contract
+    (main_utils.py:226-230)."""
+    base = jax.random.key(cfg.seed, impl=cfg.rng_impl)
+    step_key = jax.random.fold_in(base, state.step)
+    keys = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(jnp.arange(n))
+    chunks = jax.tree.map(
+        lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]), batch)
+
+    def loss_fn(joint_params, critic_params):
+        def fwd(_, xs):
+            chunk, key = xs
+            out, mut = model.apply(
+                {"params": joint_params, "batch_stats": state.batch_stats},
+                chunk["image"], chunk["txt_ids"], chunk["txt_masks"],
+                chunk["txt_segments"], train=True,
+                rngs={"dropout": key}, mutable=["batch_stats"])
+            return 0, ((out[0], out[1]), mut["batch_stats"])
+
+        _, ((ei, et), bs) = jax.lax.scan(fwd, 0, (chunks, keys))
+        ei = ei.reshape(-1, ei.shape[-1])
+        et = et.reshape(-1, et.shape[-1])
+        scores = pairwise_critic_scores(critic_params, ei, et)
+        loss = critics_lib.dv_bound_from_scores(scores, batch["study_id"])
+        return loss, jax.tree.map(lambda x: jnp.mean(x, 0), bs)
+
+    (loss, new_bs), (jg, cg) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state.params,
+                                               state.critic_params)
+    img_u, img_opt = txs.img.update(jg["image_model"], state.img_opt,
+                                    state.params["image_model"])
+    txt_u, txt_opt = txs.txt.update(jg["text_model"], state.txt_opt,
+                                    state.params["text_model"])
+    mi_u, mi_opt = txs.mi.update(cg, state.mi_opt, state.critic_params)
+    new_params = {
+        "image_model": optax.apply_updates(state.params["image_model"], img_u),
+        "text_model": optax.apply_updates(state.params["text_model"], txt_u),
+    }
+    new_critic = optax.apply_updates(state.critic_params, mi_u)
+    return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
+                        txt_opt, state.step + 1), loss
+
+
+def test_grad_cache_matches_direct_autodiff_oracle():
+    """grad_cache_chunks=4 at B=8: step-1 loss bitwise-close to the
+    oracle's, BatchNorm running stats identical, and the loss after the
+    (gradient-dependent) optimizer update still agrees on step 2 — a
+    wrong cotangent anywhere in pass 2 would diverge it."""
+    n = 4
+    cfg = _cfg(grad_cache_chunks=n)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    body = jax.jit(make_mi_step_body(model, txs, cfg))
+    b1 = _make_batch(8, 128, 16, seed=0)
+    b2 = _make_batch(8, 128, 16, seed=1)
+
+    s_gc = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    s_or = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+
+    s_gc, loss_gc = body(s_gc, b1)
+    s_or, loss_or = _oracle_step(model, txs, cfg, s_or, b1, n)
+    np.testing.assert_allclose(float(loss_gc), float(loss_or),
+                               rtol=1e-6, atol=1e-7)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                         atol=1e-7),
+                 s_gc.batch_stats, s_or.batch_stats)
+
+    s_gc, loss_gc2 = body(s_gc, b2)
+    s_or, loss_or2 = _oracle_step(model, txs, cfg, s_or, b2, n)
+    np.testing.assert_allclose(float(loss_gc2), float(loss_or2),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_grad_cache_chunk1_and_fallback_match_direct_body():
+    """grad_cache_chunks=1 dispatches to the direct body; a chunk count
+    that does not divide the batch falls back to it at trace time — both
+    must produce the direct step's exact results."""
+    cfg_direct = _cfg()
+    model = build_joint_model(cfg_direct, TINY_BERT)
+    txs = make_optimizers(cfg_direct, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+
+    step_direct = make_mi_train_step(model, txs, cfg_direct)
+    s_d = create_mi_state(model, cfg_direct, txs, jax.random.PRNGKey(0))
+    s_d, loss_d = step_direct(s_d, batch)
+
+    for chunks in (1, 3):  # 3 does not divide 8 -> fallback path
+        cfg = _cfg(grad_cache_chunks=chunks)
+        step = make_mi_train_step(model, txs, cfg)
+        s = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+        s, loss = step(s, batch)
+        np.testing.assert_allclose(float(loss), float(loss_d),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_grad_cache_sharded_matches_unsharded():
+    """GradCache composes with the data mesh: the chunked scan runs over
+    batch shards (GSPMD reshards the (n, B/n, ...) reshape) and the
+    full-batch pairing still spans every chip's samples."""
+    from mimm_tpu.parallel import mesh as mesh_lib
+
+    n = 2
+    cfg = _cfg(grad_cache_chunks=n)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    step = make_mi_train_step(model, txs, cfg)
+    batch = _make_batch(8, 128, 16)
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    s1 = mesh_lib.replicate(mesh1,
+                            create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    s1, loss1 = step(s1, mesh_lib.shard_batch(mesh1, batch))
+
+    mesh4 = mesh_lib.make_mesh({"data": 4})
+    s4 = mesh_lib.replicate(mesh4,
+                            create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    s4, loss4 = step(s4, mesh_lib.shard_batch(mesh4, batch))
+
+    np.testing.assert_allclose(float(loss4), float(loss1), rtol=1e-5, atol=1e-6)
