@@ -237,7 +237,10 @@ class MetricWriter:
                 int(rec.get("epoch", self._tb_step))
             self._tb_step = tb_step + 1
             for k, v in rec.items():
-                if k not in ("time", "step") and isinstance(v, (int, float)):
+                # 'epoch' is the record's step ordinal, not a metric — a
+                # mirrored y=x 'epoch' chart would just clutter the dashboard
+                if k not in ("time", "step", "epoch") and \
+                        isinstance(v, (int, float)):
                     self._tb.scalar(k, v, tb_step, wall_time=rec["time"])
             self._tb.flush()
 

@@ -128,8 +128,9 @@ class TBEventWriter:
 
     def scalar(self, tag: str, value: float, step: int,
                wall_time: Optional[float] = None) -> None:
-        self._record(_scalar_event(wall_time or time.time(), step, tag,
-                                   float(value)))
+        if wall_time is None:  # NOT falsy-or: an explicit 0.0 is a valid stamp
+            wall_time = time.time()
+        self._record(_scalar_event(wall_time, step, tag, float(value)))
 
     def flush(self) -> None:
         self._fh.flush()

@@ -6,10 +6,12 @@ whose direct (single-pass) step does not fit in HBM, because tower
 activations live one chunk at a time.  For each batch size this probe
 times the sustained step (chained dispatches, final-loss force-read — the
 same methodology as bench.py; single-dispatch timing through the dev
-tunnel measures tunnel latency, not device time) and reports pairs/s,
-per-step ms, and the device's peak-memory counter; the direct step is
-also attempted at the largest grad-cache batch to show where it stops
-fitting.
+tunnel measures tunnel latency, not device time) and reports pairs/s and
+per-step ms; the direct step is also attempted at the largest grad-cache
+batch to show where it stops fitting.  ``peak_mb_cumulative`` is the
+device allocator's PROCESS-LIFETIME high-water mark (it never resets
+between configs — only the first config's value is that config's own
+footprint; the axon tunnel device returns no stats at all, hence null).
 
 Production shapes: ResNet256_6_2_1 + 12-layer BERT at L=128 (the middle
 production bucket), bf16 compute, Pallas/size-dispatched pairwise critic,
@@ -17,6 +19,10 @@ DV bound, all three optimizer updates.
 
 Usage:  python tools/bench_grad_cache.py          (runs on the real chip)
         MIMM_GC_CONFIGS=64:1,512:8 python tools/bench_grad_cache.py
+
+Measured 2026-08-18 on one v5e chip (default configs): B=64 direct
+1329 pairs/s; B=256/chunks=4 1153; B=1024/16 1177; B=2048/32 1052 —
+while the direct step at B=2048 fails to compile.
 """
 
 import json
@@ -32,10 +38,10 @@ SEQ_LEN = 128
 WARMUP = 2
 TIMED = 5
 # (batch, grad_cache_chunks); chunk size stays 64 = the reference batch
-# (per-chunk BatchNorm semantics match the reference's batch-64 BN)
-DEFAULT_CONFIGS = [(64, 1), (64, 1), (256, 4), (1024, 16), (2048, 32)]
-# NOTE: first (64, 1) entry is a throwaway compile+warm lane; the second
+# (per-chunk BatchNorm semantics match the reference's batch-64 BN).
+# The duplicated first entry is a throwaway compile+warm lane; the second
 # is the reported direct-step baseline.
+DEFAULT_CONFIGS = [(64, 1), (64, 1), (256, 4), (1024, 16), (2048, 32)]
 
 
 def parse_configs():
@@ -67,10 +73,12 @@ def main():
         try:
             return round(dev.memory_stats()["peak_bytes_in_use"] / 2**20)
         except Exception:
-            return None
+            return None  # the axon tunnel device exposes no memory stats
 
-    results = []
-    for idx, (batch, chunks) in enumerate(parse_configs()):
+    def build(batch, chunks):
+        """One config's (step_fn, init_state_fn, batch_data) — shared by
+        the sweep and the direct probe so the two sides of the
+        direct-vs-grad-cache comparison can never drift apart."""
         cfg = TrainingConfig().replace(
             batch_size=batch, compute_dtype="bfloat16", mi_estimator="dv",
             use_pallas_critic=on_tpu, gelu_tanh=True,
@@ -82,7 +90,6 @@ def main():
                                  dtype=jnp.bfloat16)
         txs = make_optimizers(cfg, steps_per_epoch=200_000 // batch)
         step = make_mi_train_step(model, txs, cfg)
-
         rng = np.random.default_rng(0)
         batch_data = {
             "image": jnp.asarray(rng.integers(
@@ -93,9 +100,17 @@ def main():
             "txt_segments": jnp.zeros((batch, SEQ_LEN), jnp.uint8),
             "study_id": jnp.asarray(np.arange(batch, dtype=np.int64)),
         }
+        init = lambda: create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+        return step, init, batch_data
+
+    configs = parse_configs()
+    using_defaults = "MIMM_GC_CONFIGS" not in os.environ
+    results = []
+    for idx, (batch, chunks) in enumerate(configs):
+        step, init, batch_data = build(batch, chunks)
         label = f"B={batch} chunks={chunks}"
         try:
-            state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+            state = init()
             for _ in range(WARMUP):
                 state, loss = step(state, batch_data)
                 float(np.sum(jax.device_get(loss)))
@@ -111,51 +126,30 @@ def main():
             assert distinct == TIMED, f"steps did not all execute ({distinct})"
             rec = {"config": label, "step_ms": round(dt * 1e3, 1),
                    "pairs_per_sec": round(batch / dt, 1),
-                   "peak_mb": peak_mb(), "loss": round(final, 5)}
+                   "peak_mb_cumulative": peak_mb(), "loss": round(final, 5)}
             del state
         except Exception as e:  # noqa: BLE001 — OOM probe is the point
             kind = "RESOURCE_EXHAUSTED" if "RESOURCE_EXHAUSTED" in str(e) \
                 else type(e).__name__
             rec = {"config": label, "error": kind}
-        if idx == 0:
+        if idx == 0 and using_defaults:
             rec["note"] = "warm-up lane (compile), not comparable"
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
     # direct-step attempt at the largest grad-cache batch: where the
     # single-pass step stops fitting, grad-cache keeps training
-    largest = max(b for b, _ in parse_configs())
+    largest = max(b for b, _ in configs)
     if largest > 64:
-        os.environ["MIMM_GC_PROBE"] = "direct"
-        cfg = TrainingConfig().replace(
-            batch_size=largest, compute_dtype="bfloat16", mi_estimator="dv",
-            use_pallas_critic=on_tpu, gelu_tanh=True,
-            adamw_moment_dtype="bfloat16", grad_cache_chunks=1)
-        bert_cfg = BertConfig(num_classes=cfg.output_channels,
-                              flash_attention=on_tpu, gelu_tanh=True)
-        model = ImageReportModel(bert_config=bert_cfg,
-                                 output_channels=cfg.output_channels,
-                                 dtype=jnp.bfloat16)
-        txs = make_optimizers(cfg, steps_per_epoch=200_000 // largest)
-        step = make_mi_train_step(model, txs, cfg)
-        rng = np.random.default_rng(0)
-        batch_data = {
-            "image": jnp.asarray(rng.integers(
-                0, 255, (largest, cfg.img_size, cfg.img_size, 1)).astype(np.uint8)),
-            "txt_ids": jnp.asarray(rng.integers(
-                0, bert_cfg.vocab_size, (largest, SEQ_LEN)).astype(np.uint16)),
-            "txt_masks": jnp.ones((largest, SEQ_LEN), jnp.uint8),
-            "txt_segments": jnp.zeros((largest, SEQ_LEN), jnp.uint8),
-            "study_id": jnp.asarray(np.arange(largest, dtype=np.int64)),
-        }
+        step, init, batch_data = build(largest, 1)
         try:
-            state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+            state = init()
             t0 = time.perf_counter()
             state, loss = step(state, batch_data)
             final = float(jax.device_get(loss))
             dt = time.perf_counter() - t0
             rec = {"config": f"B={largest} direct", "step_ms": round(dt * 1e3, 1),
-                   "peak_mb": peak_mb(), "loss": round(final, 5),
+                   "peak_mb_cumulative": peak_mb(), "loss": round(final, 5),
                    "note": "single dispatch incl. compile — fits after all"}
         except Exception as e:  # noqa: BLE001
             kind = "RESOURCE_EXHAUSTED" if "RESOURCE_EXHAUSTED" in str(e) \
