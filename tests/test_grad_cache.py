@@ -166,3 +166,32 @@ def test_grad_cache_sharded_matches_unsharded():
     s4, loss4 = step(s4, mesh_lib.shard_batch(mesh4, batch))
 
     np.testing.assert_allclose(float(loss4), float(loss1), rtol=1e-5, atol=1e-6)
+
+
+def test_manager_trains_with_grad_cache(tmp_path):
+    """cfg.grad_cache_chunks plumbs through MultiModalManager.train: a
+    1-epoch synthetic run under the data mesh trains with the two-pass
+    body, checkpoints, and records finite losses."""
+    from tests.test_train import FakePairedDataset
+    from mimm_tpu.parallel import mesh as mesh_lib
+    from mimm_tpu.train.mi import MultiModalManager
+
+    cfg = TrainingConfig().replace(
+        save_directory=str(tmp_path / "save"), batch_size=4, seed=0,
+        img_size=128, max_seq_length=16, compute_dtype="float32",
+        num_train_epochs=1, init_lr=1e-3, prefetch=1,
+        use_pallas_critic=False, flash_attention=False,
+        grad_cache_chunks=2)
+    mgr = MultiModalManager(cfg, bert_config=TINY_BERT,
+                            load_pretrained_bert=False)
+    ds = FakePairedDataset(n=8, img=128, seq=16)
+    state = mgr.train(token_features=None, dataset=ds, num_epochs=1,
+                      mesh=mesh_lib.make_mesh({"data": 2}))
+    assert int(state.step) == 2  # 8 samples / batch 4
+
+    import json
+    import os
+    recs = [json.loads(l) for l in
+            open(os.path.join(cfg.save_directory, "mi.jsonl"))]
+    losses = [r["epoch_loss"] for r in recs if "epoch_loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
