@@ -10,6 +10,16 @@ keep rate within 0.2%).
 
 Semantics: per-element Bernoulli(1-rate) mask with 1/(1-rate) scaling,
 exactly like nn.Dropout; only the threshold resolution differs.
+
+MEASURED DEAD END under the production hardware PRNG (cfg.rng_impl=
+"unsafe_rbg", BERT_VARIANTS=dropout tools/bench_bert_variants.py on v5e,
+B=64): packed is 2-3x SLOWER than plain nn.Dropout (47.1 vs 23.5 ms
+full text-tower step at L=64; 100.9 vs 36.7 at L=128) — the byte
+unpack/stack/compare chain costs far more than the random bits it saves
+once RNG is hardware-backed.  Plain dropout's total residual cost is
+~2.1/4.6 ms at L=64/128 (vs deterministic), which is semantics-required.
+Kept off by default (cfg.packed_dropout) as a documented negative
+result; do not re-enable without new evidence.
 """
 
 from __future__ import annotations

@@ -113,6 +113,22 @@ def main():
                            moment_dtype=jnp.bfloat16)
             print(json.dumps(out), flush=True)
         return
+    if mode == "dropout":
+        # packed (byte-threshold, ops/dropout.py) vs plain nn.Dropout vs
+        # off — quantifies residual dropout cost under the production
+        # hardware PRNG (unsafe_rbg; packed was motivated pre-unsafe_rbg)
+        for L_ in (64, 128):
+            ids = jnp.asarray(rng.integers(0, 30522,
+                                           (BATCH, L_)).astype(np.int32))
+            bert_step_time(f"L{L_}_plain_dropout", gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+            bert_step_time(f"L{L_}_packed_dropout", gelu_tanh=True,
+                           packed_dropout=True)
+            print(json.dumps(out), flush=True)
+            bert_step_time(f"L{L_}_no_dropout", gelu_tanh=True,
+                           deterministic=True)
+            print(json.dumps(out), flush=True)
+        return
     if mode == "buckets":
         # einsum-attention step time at every bucket length, + flash at 96
         # (flash numbers for 64/128/192/320 come from bench_breakdown.py)
