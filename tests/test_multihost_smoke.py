@@ -4,7 +4,8 @@ cross-process all-gather inside the jitted MI step, collective orbax
 save/restore.  Skipped by default — it launches two concurrent CPU JAX
 processes (several minutes on a 1-core host) and the suite must stay
 fast/deterministic; run with MIMM_RUN_MULTIHOST=1.  Last manual run
-(2026-08-18, HEAD): both ranks loss=0.000512697, MULTIHOST SMOKE OK."""
+(2026-08-18, HEAD): both ranks agree in both lanes (dp 0.000512697;
+tp+sp+grad-cache 0.000013970), MULTIHOST SMOKE OK."""
 
 import os
 import subprocess

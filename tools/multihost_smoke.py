@@ -94,6 +94,25 @@ def child(rank: int) -> None:
     assert np.isfinite(loss)
     print(f"MH_LOSS rank={rank} loss={loss:.9f}", flush=True)
 
+    # lane 2: data x model mesh — BERT tensor parallelism + sequence
+    # parallelism + the GradCache two-pass body, all under REAL
+    # multi-process sharding (validates the put_global TP placement that
+    # device_put cannot do on pods, and SP/grad-cache collectives across
+    # the process boundary)
+    mesh2 = mesh_lib.make_mesh({"data": 2, "model": 2})
+    cfg2 = cfg.replace(sequence_parallel=True, grad_cache_chunks=2)
+    model2 = ImageReportModel(bert_config=bert, output_channels=1,
+                              dtype=jnp.float32,
+                              sp_sharding=mesh_lib.seq_sharding(mesh2))
+    state2 = mesh_lib.shard_mi_state(
+        mesh2, create_mi_state(model2, cfg2, txs, jax.random.PRNGKey(0)))
+    batch2 = mesh_lib.put_global(local, mesh_lib.batch_sharding(mesh2))
+    step2 = make_mi_train_step(model2, txs, cfg2)
+    state2, loss2 = step2(state2, batch2)
+    loss2 = float(loss2)
+    assert np.isfinite(loss2)
+    print(f"MH_LOSS2 rank={rank} loss={loss2:.9f}", flush=True)
+
     # collective orbax save (every process writes its shards) + sharded
     # restore directly onto the mesh via a ShapeDtypeStruct target
     path = os.path.join(os.environ["MIMM_MH_DIR"], "mi_epoch1.ckpt")
@@ -148,17 +167,22 @@ def main() -> None:
         if p.returncode != 0:
             print(out)
             raise SystemExit(f"rank {rank} failed rc={p.returncode}")
-    losses = []
+    losses, losses2 = [], []
     for rank, out in enumerate(outs):
         assert f"MH_OK rank={rank}" in out, out
         for line in out.splitlines():
-            if line.startswith("MH_LOSS"):
+            if line.startswith("MH_LOSS2"):
+                losses2.append(line.split("loss=")[1])
+                print(line)
+            elif line.startswith("MH_LOSS"):
                 losses.append(line.split("loss=")[1])
                 print(line)
     assert len(losses) == N_PROC and len(set(losses)) == 1, \
-        f"ranks disagree on the loss: {losses}"
-    print("MULTIHOST SMOKE OK — 2 processes, 4-device mesh, identical loss, "
-          "collective orbax save/restore")
+        f"ranks disagree on the dp loss: {losses}"
+    assert len(losses2) == N_PROC and len(set(losses2)) == 1, \
+        f"ranks disagree on the tp+sp+grad-cache loss: {losses2}"
+    print("MULTIHOST SMOKE OK — 2 processes, 4-device mesh, identical losses "
+          "(dp lane + tp/sp/grad-cache lane), collective orbax save/restore")
 
 
 if __name__ == "__main__":
