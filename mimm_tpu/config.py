@@ -206,6 +206,8 @@ class TrainingConfig:
     # size is no longer bounded by HBM (~1.5x step compute).  1 = direct
     # single-pass step.  Composes with scan_steps and the mesh axes; each
     # chunk has DP-replica semantics (per-chunk BatchNorm/dropout keys).
+    # The AE trainer honors the same knob with a SINGLE accumulation pass
+    # (its MSE loss decomposes per sample — no two-pass trick needed).
     grad_cache_chunks: int = 1
     # Megatron-style SEQUENCE PARALLELISM for the text tower (requires a
     # 'model' mesh axis, i.e. tensor parallelism active): activations in

@@ -61,20 +61,52 @@ def create_ae_state(model: ResNetAE, cfg, rng) -> AETrainState:
                         tx.init(variables["params"]), jnp.zeros([], jnp.int32))
 
 
-def make_ae_train_step(model: ResNetAE, tx):
+def make_ae_train_step(model: ResNetAE, tx, chunks: int = 1):
+    """``chunks`` > 1 (cfg.grad_cache_chunks): chunked gradient
+    accumulation — the MSE loss decomposes per sample, so a single
+    ``lax.scan`` over equal chunks (value_and_grad per chunk, averaged)
+    reproduces the full-batch gradient with activation memory O(B/chunks)
+    — AE batch size beyond HBM, one pass (the MI trainer needs the
+    two-pass GradCache because its loss couples the whole batch).  Each
+    chunk has DP-replica BatchNorm semantics (stats from its own chunk;
+    running stats are the cross-chunk mean).  Exactness vs an independent
+    oracle: tests/test_grad_cache.py."""
+    def loss_fn(params, batch_stats, images):
+        # compact-transfer batches arrive as integer crops; the identical
+        # f32 cast + max-normalize runs on device, per chunk
+        # (ops/image_norm.py)
+        images = device_normalize(images)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - images) ** 2), mutated["batch_stats"]
+
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: AETrainState, images: jax.Array):
-        # compact-transfer batches arrive as integer crops; the identical
-        # f32 cast + max-normalize runs on device (ops/image_norm.py)
-        images = device_normalize(images)
+        if chunks > 1 and images.shape[0] % chunks == 0:
+            imgs_c = images.reshape((chunks, images.shape[0] // chunks)
+                                    + images.shape[1:])
 
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
-            return jnp.mean((out - images) ** 2), mutated["batch_stats"]
+            def body(acc, chunk):
+                acc_g, acc_loss = acc
+                (loss, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, chunk)
+                return (jax.tree.map(jnp.add, acc_g, g), acc_loss + loss), bs
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            zero = (jax.tree.map(jnp.zeros_like, state.params),
+                    jnp.zeros([], jnp.float32))
+            (g_sum, loss_sum), bs_stack = jax.lax.scan(body, zero, imgs_c)
+            grads = jax.tree.map(lambda x: x / chunks, g_sum)
+            loss = loss_sum / chunks
+            new_bs = jax.tree.map(lambda x: jnp.mean(x, axis=0), bs_stack)
+        else:
+            if chunks > 1:  # trace-time: shapes are static here
+                logger.warning(
+                    "grad_cache_chunks=%d does not divide AE batch %d — "
+                    "single-pass step for this batch shape", chunks,
+                    images.shape[0])
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, images)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return AETrainState(new_params, new_bs, new_opt, state.step + 1), loss
@@ -128,7 +160,8 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                     int(state.step), start_epoch)
     state = mesh_lib.replicate(mesh, state)
     tx = adam_torch(cfg.init_lr)
-    train_step = make_ae_train_step(model, tx)
+    train_step = make_ae_train_step(
+        model, tx, chunks=max(1, int(getattr(cfg, "grad_cache_chunks", 1))))
 
     training_loss = []
     for epoch in range(start_epoch, num_epochs):

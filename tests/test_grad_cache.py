@@ -195,3 +195,82 @@ def test_manager_trains_with_grad_cache(tmp_path):
             open(os.path.join(cfg.save_directory, "mi.jsonl"))]
     losses = [r["epoch_loss"] for r in recs if "epoch_loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_ae_chunked_accumulation_matches_oracle():
+    """AE chunked gradient accumulation (cfg.grad_cache_chunks,
+    train/ae.py): the scanned per-chunk value_and_grad + average must
+    equal an independent oracle computing each chunk's loss/grads via
+    model.apply directly and averaging — and chunks=1 plus a
+    non-dividing chunk count must reproduce the direct step."""
+    import optax
+    from mimm_tpu.train.ae import (AETrainState, build_ae_model,
+                                   create_ae_state, make_ae_train_step)
+    from mimm_tpu.train.optim import adam_torch
+
+    cfg = _cfg()  # img_size=128, batch 8
+    model = build_ae_model(cfg)
+    tx = adam_torch(cfg.init_lr)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.random((8, 128, 128, 1), np.float32))
+
+    n = 4
+    step_c = make_ae_train_step(model, tx, chunks=n)
+    s_c = create_ae_state(model, cfg, jax.random.PRNGKey(0))
+    s_c, loss_c = step_c(s_c, images)
+
+    # oracle: per-chunk loss/grads via model.apply, averaged, same tx
+    s_o = create_ae_state(model, cfg, jax.random.PRNGKey(0))
+    chunks = images.reshape(n, 2, 128, 128, 1)
+
+    def chunk_loss(params, imgs):
+        out, mut = model.apply({"params": params,
+                                "batch_stats": s_o.batch_stats},
+                               imgs, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - imgs) ** 2), mut["batch_stats"]
+
+    losses, grads, stats = [], [], []
+    for i in range(n):
+        (l, bs), g = jax.value_and_grad(chunk_loss, has_aux=True)(
+            s_o.params, chunks[i])
+        losses.append(l)
+        grads.append(g)
+        stats.append(bs)
+    g_mean = jax.tree.map(lambda *xs: sum(xs) / n, *grads)
+    bs_mean = jax.tree.map(lambda *xs: sum(xs) / n, *stats)
+    loss_o = sum(float(l) for l in losses) / n
+    up, opt_o = tx.update(g_mean, s_o.opt_state, s_o.params)
+    params_o = optax.apply_updates(s_o.params, up)
+
+    np.testing.assert_allclose(float(loss_c), loss_o, rtol=1e-6, atol=1e-7)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-5, atol=1e-6), s_c.batch_stats, bs_mean)
+    # raw first-step Adam updates are +-lr and sign-sensitive to
+    # reduction-order noise at near-zero grads (same caveat as
+    # test_sharding.py) — the meaningful check is that a SECOND step
+    # through the updated params still agrees on the loss
+    images2 = jnp.asarray(rng.random((8, 128, 128, 1), np.float32))
+    s_c, loss_c2 = step_c(s_c, images2)
+    s_o2 = AETrainState(params_o, bs_mean, opt_o, s_o.step + 1)
+    chunks2 = images2.reshape(n, 2, 128, 128, 1)
+
+    def chunk_loss2(params, imgs):
+        out, mut = model.apply({"params": params,
+                                "batch_stats": s_o2.batch_stats},
+                               imgs, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - imgs) ** 2), mut["batch_stats"]
+
+    loss_o2 = sum(float(jax.value_and_grad(chunk_loss2, has_aux=True)(
+        s_o2.params, chunks2[i])[0][0]) for i in range(n)) / n
+    np.testing.assert_allclose(float(loss_c2), loss_o2, rtol=5e-4, atol=5e-5)
+
+    # chunks=1 and a non-dividing chunk count == the direct step
+    step_d = make_ae_train_step(model, tx, chunks=1)
+    s_d = create_ae_state(model, cfg, jax.random.PRNGKey(0))
+    s_d, loss_d = step_d(s_d, images)
+    for k in (1, 3):
+        step_k = make_ae_train_step(model, tx, chunks=k)
+        s_k = create_ae_state(model, cfg, jax.random.PRNGKey(0))
+        s_k, loss_k = step_k(s_k, images)
+        np.testing.assert_allclose(float(loss_k), float(loss_d),
+                                   rtol=1e-6, atol=1e-7)
