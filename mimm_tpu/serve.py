@@ -12,6 +12,31 @@ fixed-batch padding (static shapes — one compile per configured batch):
 
 Padding semantics: inputs are padded up to ``batch_size`` and results
 sliced back, so callers can send any N >= 1.
+
+Serving-only numeric knobs (training semantics are untouched — these
+exist because inference has no optimizer/trajectory-parity constraint):
+
+* ``compute_dtype="bfloat16"`` — bf16 activations (MXU-native).
+* ``weight_dtype="int8"`` — WEIGHT-ONLY post-training quantization:
+  every >=2-D kernel (Dense, conv, embedding tables) is stored as
+  symmetric per-output-channel int8 + one float32 scale per channel and
+  dequantized inside the jitted graph.  Small-batch serving is weight-
+  bandwidth-bound (the whole parameter set streams from HBM per
+  request), so halving/quartering weight bytes attacks the actual
+  bottleneck.  The quantized trees are passed as jit ARGUMENTS (device
+  buffers), not closure constants — as constants XLA would constant-fold
+  the dequantize at compile time and bake full-width weights back into
+  the executable, erasing the bandwidth win.  Quality is proven against
+  the f32 session in tests/test_serve.py (embedding cosine similarity,
+  classifier probability deltas).
+
+  MEASUREMENT CAVEAT (2026-08-18, tools/bench_serve.py int8 lanes): on
+  THIS dev setup every request crosses the axon tunnel (~24 ms round
+  trip — the text B=1 lane bottoms out there), so serving is tunnel-
+  latency-bound and int8 measured neutral (text) to slightly slower
+  (image tower: dequant cost on convs with no bandwidth shortage to
+  relieve).  The weight-bandwidth argument applies to co-located
+  production serving; measure on the target before enabling.
 """
 
 from __future__ import annotations
@@ -29,15 +54,52 @@ from mimm_tpu.models.mlp import BasicMLP
 from mimm_tpu.models.resnet import ResNet256_6_2_1
 
 
+def _quantize_weights(tree):
+    """Symmetric per-output-channel int8 for every >=2-D float leaf
+    (last axis = output features for flax Dense/conv kernels and
+    embedding tables); 1-D leaves (biases, LayerNorm/BN params and
+    stats) stay float."""
+    def q(x):
+        x = np.asarray(x)
+        if x.ndim >= 2 and np.issubdtype(x.dtype, np.floating):
+            s = np.max(np.abs(x), axis=tuple(range(x.ndim - 1)),
+                       keepdims=True) / 127.0
+            s = np.maximum(s, 1e-12).astype(np.float32)
+            return {"q8": np.clip(np.rint(x / s), -127, 127).astype(np.int8),
+                    "s8": s}
+        return x
+    return jax.tree.map(q, tree)
+
+
+def _is_q(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q8", "s8"}
+
+
+def _dequantize(tree, dtype):
+    """Rebuild the float param tree inside jit: int8 -> dtype, scaled.
+    XLA reads the int8 buffer from HBM and fuses the convert+multiply
+    into the consumer's operand pipeline."""
+    return jax.tree.map(
+        lambda l: (l["q8"].astype(dtype) * l["s8"].astype(dtype))
+        if _is_q(l) else l, tree, is_leaf=_is_q)
+
+
 class InferenceSession:
     def __init__(self, save_directory: str, batch_size: int = 64,
                  output_channels: int = 1,
                  bert_config: Optional[BertConfig] = None,
                  classifier_layers: Optional[List[int]] = None,
                  disease: Optional[str] = None,
-                 classifier_epoch: Optional[int] = None):
+                 classifier_epoch: Optional[int] = None,
+                 compute_dtype: str = "float32",
+                 weight_dtype: str = "float32"):
+        if weight_dtype not in ("float32", "int8"):
+            raise ValueError(f"unsupported weight_dtype: {weight_dtype}")
         self.batch_size = batch_size
-        self.image_model = ResNet256_6_2_1(output_channels=output_channels)
+        cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self._quant = weight_dtype == "int8"
+        self.image_model = ResNet256_6_2_1(output_channels=output_channels,
+                                           dtype=cdt)
         self.image_vars = ckpt.load_resnet_from_bin(
             os.path.join(save_directory, "pytorch_MI_image_model.bin"))
 
@@ -49,7 +111,7 @@ class InferenceSession:
                 # would surface later as a misleading "pass bert_config"
                 raise FileNotFoundError(
                     f"bert_config given but no text checkpoint at {txt_path}")
-            self.text_model = TextBert(bert_config)
+            self.text_model = TextBert(bert_config, dtype=cdt)
             sd = ckpt.load_state_dict_bin(txt_path)
             self.text_vars = ckpt.bert_variables_from_state_dict(
                 sd, bert_config.num_hidden_layers)
@@ -64,19 +126,40 @@ class InferenceSession:
                 ckpt.load_state_dict_bin(clf_path))
 
         from mimm_tpu.ops.image_norm import device_normalize
-        self._embed_images = jax.jit(
-            lambda imgs: self.image_model.apply(self.image_vars,
-                                                device_normalize(imgs),
-                                                train=False)[1])
+
+        # device-resident weights either way: jit arguments are NOT
+        # cached like closure constants, so host trees would re-upload on
+        # every request
+        if self._quant:
+            self.image_vars = _quantize_weights(self.image_vars)
+            if self.text_model is not None:
+                self.text_vars = _quantize_weights(self.text_vars)
+        self.image_vars = jax.device_put(self.image_vars)
         if self.text_model is not None:
-            self._embed_texts = jax.jit(
-                lambda ids, masks, segs: self.text_model.apply(
-                    self.text_vars, ids, token_type_ids=segs,
-                    attention_mask=masks)[0])
+            self.text_vars = jax.device_put(self.text_vars)
+
+        def deq(v):
+            return _dequantize(v, cdt) if self._quant else v
+
+        # weights are jit ARGUMENTS (device buffers), not closure
+        # constants: with int8 weights a constant would be constant-folded
+        # through the dequantize at compile time (erasing the bandwidth
+        # win), and for f32 it avoids baking a second weight copy per
+        # entry point
+        img_jit = jax.jit(
+            lambda v, imgs: self.image_model.apply(
+                deq(v), device_normalize(imgs),
+                train=False)[1].astype(jnp.float32))
+        self._embed_images = lambda imgs: img_jit(self.image_vars, imgs)
+        if self.text_model is not None:
+            txt_jit = jax.jit(
+                lambda v, ids, masks, segs: self.text_model.apply(
+                    deq(v), ids, token_type_ids=segs,
+                    attention_mask=masks)[0].astype(jnp.float32))
+            self._embed_texts = lambda ids, masks, segs: \
+                txt_jit(self.text_vars, ids, masks, segs)
         if self.classifier is not None:
-            # classify = MLP head over _embed_images: calling the already-
-            # jitted embed keeps ONE copy of the image weights as jit
-            # constants instead of baking a second copy into this closure
+            # the MLP head is tiny (< 1 MB) — always full precision
             head = jax.jit(
                 lambda emb: self.classifier.apply(self.clf_params, emb)[:, 0])
             self._classify = lambda imgs: head(self._embed_images(imgs))

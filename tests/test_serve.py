@@ -80,3 +80,56 @@ def test_serve_embed_texts(tmp_path):
     want = tb.apply(v, jnp.asarray(ids), token_type_ids=jnp.asarray(segs),
                     attention_mask=jnp.asarray(masks))[0]
     np.testing.assert_allclose(emb, np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_serve_int8_weight_quantization_quality(tmp_path):
+    """weight_dtype='int8' (serve.py _quantize_weights): per-output-
+    channel symmetric int8 must preserve embeddings (cosine vs the f32
+    session through the full 6-stage ResNet) and classifier
+    probabilities; padding semantics unchanged."""
+    _make_artifacts(tmp_path)
+    f32 = InferenceSession(str(tmp_path), batch_size=4,
+                           classifier_layers=[16], disease="Pneumonia")
+    q8 = InferenceSession(str(tmp_path), batch_size=4,
+                          classifier_layers=[16], disease="Pneumonia",
+                          weight_dtype="int8")
+
+    rng = np.random.default_rng(1)
+    imgs = rng.random((6, 256, 256, 1)).astype(np.float32)
+    e32, e8 = f32.embed_images(imgs), q8.embed_images(imgs)
+    assert e8.shape == (6, 768) and e8.dtype == np.float32
+    cos = np.sum(e32 * e8, -1) / (np.linalg.norm(e32, axis=-1)
+                                  * np.linalg.norm(e8, axis=-1))
+    assert cos.min() > 0.99, cos
+    p32, p8 = f32.classify(imgs), q8.classify(imgs)
+    np.testing.assert_allclose(p8, p32, atol=0.05)
+
+
+def test_serve_int8_bert_quality(tmp_path):
+    """int8 weight quantization through a 2-layer BERT text tower:
+    pooled-CLS embeddings stay close to the f32 session's."""
+    from mimm_tpu.models.bert import BertConfig, TextBert
+
+    _make_artifacts(tmp_path)
+    bc = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64,
+                    max_position_embeddings=32, num_classes=1)
+    model = TextBert(bc)
+    ids0 = jnp.zeros((1, 16), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(2), ids0)
+    sd = ckpt.bert_state_dict_from_variables(
+        {"params": jax.device_get(variables["params"])}, bc.num_hidden_layers)
+    ckpt.save_state_dict_bin(str(tmp_path / "pytorch_MI_text_model.bin"), sd)
+
+    f32 = InferenceSession(str(tmp_path), batch_size=4, bert_config=bc)
+    q8 = InferenceSession(str(tmp_path), batch_size=4, bert_config=bc,
+                          weight_dtype="int8")
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 64, (5, 16)).astype(np.int32)
+    masks = np.ones((5, 16), np.int32)
+    segs = np.zeros((5, 16), np.int32)
+    e32 = f32.embed_texts(ids, masks, segs)
+    e8 = q8.embed_texts(ids, masks, segs)
+    cos = np.sum(e32 * e8, -1) / (np.linalg.norm(e32, axis=-1)
+                                  * np.linalg.norm(e8, axis=-1))
+    assert cos.min() > 0.99, cos

@@ -62,7 +62,49 @@ def main():
     if args.disease:
         result["classify_imgs_per_sec"] = round(
             timed(session.classify, images), 2)
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # ---- weight-only int8 + small-batch latency lanes -------------------
+    # Small-batch serving streams the whole weight set from HBM per
+    # request, so weight_dtype="int8" is the lever that matters there; the
+    # BERT tower (109 M params) should show it most, the conv tower (6 M)
+    # least.  B=1 lanes report per-request latency.
+    bc = None
+    cfg_path = os.path.join(args.save_directory, "config.json")
+    txt_path = os.path.join(args.save_directory, "pytorch_MI_text_model.bin")
+    if os.path.exists(cfg_path) and os.path.exists(txt_path):
+        from mimm_tpu.models.bert import BertConfig
+        bc = BertConfig.from_json_file(cfg_path)
+        L = min(320, bc.max_position_embeddings)
+        ids = rng.integers(0, bc.vocab_size, (BATCH, L)).astype(np.int32)
+        masks = np.ones((BATCH, L), np.int32)
+        segs = np.zeros((BATCH, L), np.int32)
+
+    lanes = {}
+    for wd in ("float32", "int8"):
+        for bs in (BATCH, 1):
+            sess = InferenceSession(args.save_directory, batch_size=bs,
+                                    bert_config=bc, weight_dtype=wd)
+            tag = f"{wd}_b{bs}"
+            imgs = images[:max(bs, 1)]
+            sess.embed_images(imgs)  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(REQUESTS):
+                sess.embed_images(imgs)
+            lanes[f"embed_img_{tag}_ms"] = round(
+                (time.perf_counter() - t0) / REQUESTS * 1e3, 2)
+            if bc is not None:
+                targs = (ids[:bs], masks[:bs], segs[:bs])
+                sess.embed_texts(*targs)
+                t0 = time.perf_counter()
+                for _ in range(REQUESTS):
+                    sess.embed_texts(*targs)
+                lanes[f"embed_txt_{tag}_ms"] = round(
+                    (time.perf_counter() - t0) / REQUESTS * 1e3, 2)
+            del sess
+    print(json.dumps({"int8_latency_lanes": lanes,
+                      "note": "per-request ms incl. host->device transfer; "
+                              "b1 = single-sample latency"}))
 
 
 if __name__ == "__main__":
