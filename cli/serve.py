@@ -101,7 +101,9 @@ def make_handler(session):
 def build_server(save_directory: str, port: int = 8321,
                  batch_size: int = 64, disease: str = None,
                  classifier_layers=None,
-                 host: str = "127.0.0.1") -> ThreadingHTTPServer:
+                 host: str = "127.0.0.1",
+                 compute_dtype: str = "float32",
+                 weight_dtype: str = "float32") -> ThreadingHTTPServer:
     from mimm_tpu.serve import InferenceSession
 
     if disease and classifier_layers is None:
@@ -109,7 +111,9 @@ def build_server(save_directory: str, port: int = 8321,
         classifier_layers = list(DEFAULT_CLASSIFIER_LAYERS)
     session = InferenceSession(save_directory, batch_size=batch_size,
                                classifier_layers=classifier_layers,
-                               disease=disease)
+                               disease=disease,
+                               compute_dtype=compute_dtype,
+                               weight_dtype=weight_dtype)
     return ThreadingHTTPServer((host, port), make_handler(session))
 
 
@@ -120,11 +124,18 @@ def main():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--disease", default=None)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--weight_dtype", default="float32",
+                   choices=["float32", "int8"],
+                   help="int8 = weight-only PTQ (see mimm_tpu/serve.py "
+                        "for the quality tests + measurement caveat)")
     args = p.parse_args()
 
     server = build_server(args.save_directory, port=args.port,
                           batch_size=args.batch_size, disease=args.disease,
-                          host=args.host)
+                          host=args.host, compute_dtype=args.compute_dtype,
+                          weight_dtype=args.weight_dtype)
     print(json.dumps({"serving": f"http://{args.host}:{server.server_port}",
                       "save_directory": args.save_directory}))
     server.serve_forever()
