@@ -42,8 +42,17 @@ def train_mutual_information(cfg: TrainingConfig):
     # multi-host pods: no-op unless a coordinator is configured
     mesh_lib.initialize_distributed()
 
+    # SIGTERM (pod eviction) -> checkpoint-and-exit at a step boundary;
+    # resume with --resume_from <save_directory>/mi_preempt.ckpt
+    from mimm_tpu import preempt
+    preempt.install()
+
     manager = MultiModalManager(cfg)
-    state = manager.train(token_features=features)
+    resume = getattr(cfg, "resume_from", "") or None
+    if resume == "auto":
+        candidate = os.path.join(cfg.save_directory, "mi_preempt.ckpt")
+        resume = candidate if os.path.exists(candidate) else None
+    state = manager.train(token_features=features, resume_from=resume)
     return manager, state
 
 

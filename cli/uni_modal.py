@@ -14,7 +14,15 @@ def train_auto_encoder(cfg):
 
     # multi-host pods: no-op unless a coordinator is configured
     mesh_lib.initialize_distributed()
-    return _train(cfg)
+    # SIGTERM (pod eviction) -> checkpoint-and-exit at a step boundary;
+    # resume from <save_directory>/ae_preempt.ckpt
+    from mimm_tpu import preempt
+    preempt.install()
+    resume = getattr(cfg, "resume_from", "") or None
+    if resume == "auto":
+        candidate = os.path.join(cfg.save_directory, "ae_preempt.ckpt")
+        resume = candidate if os.path.exists(candidate) else None
+    return _train(cfg, resume_from=resume)
 
 
 def main():

@@ -217,6 +217,14 @@ class TrainingConfig:
     # too).  Same math — equivalence-tested against the replicated step
     # (tests/test_sharding.py).  No reference counterpart (single-device).
     sequence_parallel: bool = False
+    # Resume source for the MI/AE trainers: "" (fresh run), a path to a
+    # native checkpoint (mi_epoch<N>.ckpt / ae_epoch<N>.ckpt /
+    # *_preempt.ckpt — restores params + optimizer states + step and
+    # continues, mid-epoch if the step is mid-epoch), or "auto" (resume
+    # from <save_directory>/{mi,ae}_preempt.ckpt when one exists, else
+    # start fresh — lets a scheduler restart the SAME command after a
+    # preemption and have the run pick itself back up).
+    resume_from: str = ""
     # Native checkpoint serialization: "pickle" (single file, one host),
     # "orbax" (directory; every process writes its own shards — required
     # and auto-forced for multi-host runs), or "orbax_async" (orbax with

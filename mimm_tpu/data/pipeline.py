@@ -296,8 +296,19 @@ class Loader:
                 return b
         return self.bucket_lengths[-1]
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield stacked numpy batches for one epoch."""
+    def epoch(self, epoch: int, start_batch: int = 0
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield stacked numpy batches for one epoch.
+
+        ``start_batch`` (mid-epoch resume, e.g. after a preemption save —
+        mimm_tpu.preempt): fast-forward the deterministic batch
+        composition and yield only batches ``start_batch:`` of this
+        epoch's stream.  The skipped records are never decoded — the
+        composition is pure index metadata.  A resumed epoch uses the
+        index-composed batch stream with zero-substitution for bad
+        records (the multi-host semantics), which is identical to the
+        original stream unless a bad record triggered single-host
+        skip-and-refill inside it."""
         n = len(self.dataset)
         order = np.arange(n)
         rng = np.random.default_rng((self.seed, epoch))
@@ -396,9 +407,14 @@ class Loader:
             pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers)) \
                 if self.num_workers > 0 else None
             try:
+                composed = 0
                 for seq_len, group in index_batches():
-                    if len(group) != self.batch_size:
+                    if len(group) != self.batch_size \
+                            and self.process_count > 1:
                         continue  # partial trailing batch: not sliceable
+                    composed += 1
+                    if composed <= start_batch:
+                        continue  # fast-forward: resume skips without decode
                     mine = group[lo:lo + local]
                     if pool is not None and self._template is not None:
                         samples = list(pool.map(load_or_substitute, mine))
@@ -451,8 +467,14 @@ class Loader:
             finally:
                 out_q.put(None)
 
+        if start_batch < 0:
+            raise ValueError(f"start_batch {start_batch} must be >= 0")
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
-        target = producer_sliced if self.process_count > 1 else producer
+        # start_batch > 0 routes through the index-composed producer: the
+        # composition (hence the skip) is pure metadata there, so the
+        # fast-forward never decodes a skipped record
+        target = producer_sliced \
+            if (self.process_count > 1 or start_batch > 0) else producer
         t = threading.Thread(target=target, args=(q,), daemon=True)
         t.start()
         while True:

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from mimm_tpu import checkpoint as ckpt
+from mimm_tpu import preempt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
 from mimm_tpu.models.autoencoder import ResNetAE
 from mimm_tpu.ops.image_norm import device_normalize
@@ -144,6 +145,7 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
     model = build_ae_model(cfg)
     start_epoch = 0
+    resume_start_batch = 0
     if resume_from is None:
         state = create_ae_state(model, cfg, jax.random.PRNGKey(cfg.seed))
     else:
@@ -156,24 +158,45 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
         state = AETrainState(**ckpt.load_checkpoint(resume_from,
                                                     target=target))
         start_epoch = int(state.step) // max(1, len(loader))
-        logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
-                    int(state.step), start_epoch)
+        # mid-epoch (preemption) checkpoints: fast-forward the resumed
+        # epoch's deterministic batch stream past the consumed steps
+        resume_start_batch = int(state.step) % max(1, len(loader))
+        logger.info("Resumed from %s at step %d (epoch %d, batch %d)",
+                    resume_from, int(state.step), start_epoch,
+                    resume_start_batch)
     state = mesh_lib.replicate(mesh, state)
     tx = adam_torch(cfg.init_lr)
     train_step = make_ae_train_step(
         model, tx, chunks=max(1, int(getattr(cfg, "grad_cache_chunks", 1))))
 
     training_loss = []
+    preempt_sync = jax.process_count() > 1
     for epoch in range(start_epoch, num_epochs):
         start = time.time()
         # Device-side loss accumulation: one host read per epoch instead of
         # a ~25-40 ms tunnel round trip per step (keeps dispatch pipelined).
         step_losses = []
-        batches = (b["image"] for b in loader.epoch(epoch))
+        batches = (b["image"] for b in loader.epoch(
+            epoch, start_batch=resume_start_batch
+            if epoch == start_epoch else 0))
         for images in device_prefetch(batches, size=cfg.prefetch,
                                       sharding=mesh_lib.batch_sharding(mesh)):
             state, loss = train_step(state, images)
             step_losses.append(loss)
+            if preempt.should_stop(sync=preempt_sync):
+                # SIGTERM (pod eviction/maintenance): save the FULL state
+                # tree and stop; resume_from continues mid-epoch
+                # (mimm_tpu.preempt).
+                path = ckpt.save_checkpoint(
+                    os.path.join(cfg.save_directory, "ae_preempt.ckpt"),
+                    state._asdict(),
+                    format=getattr(cfg, "checkpoint_format", "pickle"))
+                logger.warning("preemption requested — saved %s at step %d "
+                               "and stopping", path, int(state.step))
+                writer.write(step=int(state.step), preempted=1)
+                writer.close()
+                ckpt.wait_for_async_saves()
+                return state
         epoch_loss = float(np.sum(jax.device_get(step_losses))) \
             if step_losses else 0.0
         training_loss.append(epoch_loss)

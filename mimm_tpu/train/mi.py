@@ -40,6 +40,7 @@ import numpy as np
 import optax
 
 from mimm_tpu import checkpoint as ckpt
+from mimm_tpu import preempt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
 from mimm_tpu.models.bert import BertConfig
 from mimm_tpu.models.joint import ImageReportModel
@@ -481,6 +482,7 @@ class MultiModalManager:
         txs = make_optimizers(cfg, steps_per_epoch=steps_per_epoch,
                               num_epochs=num_epochs)
         start_epoch = 0
+        resume_start_batch = 0
         if resume_from is None:
             state = create_mi_state(self.model, cfg, txs,
                                     jax.random.PRNGKey(cfg.seed),
@@ -497,8 +499,12 @@ class MultiModalManager:
             state = MITrainState(**ckpt.load_checkpoint(resume_from,
                                                         target=target))
             start_epoch = int(state.step) // steps_per_epoch
-            logger.info("Resumed from %s at step %d (epoch %d)", resume_from,
-                        int(state.step), start_epoch)
+            # mid-epoch (preemption) checkpoints: fast-forward the resumed
+            # epoch's deterministic batch stream past the consumed steps
+            resume_start_batch = int(state.step) % steps_per_epoch
+            logger.info("Resumed from %s at step %d (epoch %d, batch %d)",
+                        resume_from, int(state.step), start_epoch,
+                        resume_start_batch)
         # replicate (pure DP) or, with a 'model' mesh axis, tensor-parallel
         # critic + Megatron-style BERT placement (parallel/mesh.py)
         state = mesh_lib.shard_mi_state(mesh, state)
@@ -516,6 +522,7 @@ class MultiModalManager:
                     if b["image"].ndim == 5 else mesh_lib.batch_sharding(mesh))
 
         training_loss = []
+        preempt_sync = jax.process_count() > 1
         for epoch in range(start_epoch, num_epochs):
             start = time.time()
             # Accumulate step losses as device scalars and read them ONCE at
@@ -523,7 +530,9 @@ class MultiModalManager:
             # round trip (~25-40 ms through the axon tunnel) that serializes
             # the otherwise fully pipelined dispatch chain.
             step_losses = []
-            stream = loader.epoch(epoch)
+            stream = loader.epoch(
+                epoch, start_batch=resume_start_batch
+                if epoch == start_epoch else 0)
             if scan_steps > 1:
                 stream = scan_chunks(stream, scan_steps)
             for batch in device_prefetch(stream, size=cfg.prefetch,
@@ -534,6 +543,21 @@ class MultiModalManager:
                 else:
                     state, loss = train_step(state, batch)
                     step_losses.append(loss)
+                if preempt.should_stop(sync=preempt_sync):
+                    # SIGTERM (pod eviction/maintenance): save the FULL
+                    # state tree and stop.  resume_from this path picks
+                    # the run back up mid-epoch (mimm_tpu.preempt).
+                    path = ckpt.save_checkpoint(
+                        os.path.join(cfg.save_directory, "mi_preempt.ckpt"),
+                        state._asdict(),
+                        format=getattr(cfg, "checkpoint_format", "pickle"))
+                    logger.warning(
+                        "preemption requested — saved %s at step %d and "
+                        "stopping", path, int(state.step))
+                    writer.write(step=int(state.step), preempted=1)
+                    writer.close()
+                    ckpt.wait_for_async_saves()
+                    return state
             epoch_loss = float(sum(np.sum(x) for x in
                                    jax.device_get(step_losses))) \
                 if step_losses else 0.0
