@@ -21,6 +21,10 @@ def main():
                              "validate_MultiModal); um: ResNetAE encoder "
                              "(reference um_*.log runs)")
     parser.add_argument("--ae_epoch", type=int, default=None)
+    parser.add_argument("--extended", action="store_true",
+                        help="also report AUC-ROC, precision, recall, F1 "
+                             "and the confusion counts (beyond reference "
+                             "parity)")
     known, rest = parser.parse_known_args()
     cfg = construct_training_parameters(rest)
 
@@ -36,17 +40,24 @@ def main():
                 f"{cfg.mi_estimator}_epoch{cfg.num_train_epochs}")
             run_dir = legacy if os.path.isdir(legacy) else run_dir
         cfg = cfg.replace(save_directory=run_dir)
-        accuracy, separability = validate_MultiModal(
+        result = validate_MultiModal(
             cfg, MLP_LAYER, known.disease,
-            classifier_epoch=known.classifier_epoch)
+            classifier_epoch=known.classifier_epoch, extended=known.extended)
     else:
         run_dir = os.path.join(cfg.save_directory,
                                f"um_ae_epoch{cfg.num_train_epochs}")
         if os.path.isdir(run_dir):
             cfg = cfg.replace(save_directory=run_dir)
-        accuracy, separability = validate_UniModal(
+        result = validate_UniModal(
             cfg, MLP_LAYER, known.disease,
-            classifier_epoch=known.classifier_epoch, ae_epoch=known.ae_epoch)
+            classifier_epoch=known.classifier_epoch, ae_epoch=known.ae_epoch,
+            extended=known.extended)
+    if known.extended:
+        for key in ("accuracy", "separability", "auc", "precision", "recall",
+                    "f1", "tp", "tn", "fp", "fn", "positives", "negatives"):
+            print(f"{key.capitalize()}: {result[key]}")
+        return result
+    accuracy, separability = result
     print(f"Accuracy: {accuracy}")
     print(f"Separability: {separability}")
     return accuracy, separability

@@ -157,6 +157,76 @@ def gdv_calculation(positive_embeddings, negative_embeddings) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Extended binary-classification metrics (beyond reference parity)
+# ---------------------------------------------------------------------------
+
+def roc_auc(labels, scores) -> float:
+    """Area under the ROC curve via the rank statistic (Mann–Whitney U),
+    ties resolved with midranks — equivalent to sklearn.roc_auc_score
+    (oracle-tested) without the dependency at runtime.  Returns NaN when
+    only one class is present (AUC undefined).  No reference counterpart:
+    the reference reports only thresholded accuracy (validate.py:143)."""
+    labels = np.asarray(labels).astype(bool).ravel()
+    scores = np.asarray(scores, np.float64).ravel()
+    n_pos = int(labels.sum())
+    n_neg = labels.size - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(scores.size, np.float64)
+    ranks[order] = np.arange(1, scores.size + 1)
+    # midranks for ties
+    sorted_scores = scores[order]
+    i = 0
+    while i < sorted_scores.size:
+        j = i
+        while j + 1 < sorted_scores.size and \
+                sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    u = ranks[labels].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def binary_classification_report(labels, probs, threshold: float = 0.5) -> dict:
+    """Accuracy / AUC-ROC / precision / recall / F1 / confusion counts for a
+    binary sigmoid classifier.  ``accuracy`` reproduces the reference's
+    mean(round(prob) == label) (validate.py:143) at threshold 0.5; the rest
+    extend it (precision/recall/F1 use the STANDARD definitions — the
+    reference's per-epoch tallies swap fp/fn, main_utils.py:504-505, a
+    quirk we do not reproduce).  Undefined ratios (empty denominators)
+    are reported as NaN, not 0, so degenerate splits are visible."""
+    labels = np.asarray(labels, np.float64).ravel()
+    probs = np.asarray(probs, np.float64).ravel()
+    pred = (probs >= threshold).astype(np.float64)
+    tp = float(((pred == 1) & (labels == 1)).sum())
+    tn = float(((pred == 0) & (labels == 0)).sum())
+    fp = float(((pred == 1) & (labels == 0)).sum())
+    fn = float(((pred == 0) & (labels == 1)).sum())
+    total = labels.size
+
+    def _ratio(num, den):
+        return float(num / den) if den > 0 else float("nan")
+
+    precision = _ratio(tp, tp + fp)
+    recall = _ratio(tp, tp + fn)
+    f1 = _ratio(2 * precision * recall, precision + recall) \
+        if precision == precision and recall == recall else float("nan")
+    return {
+        "accuracy": _ratio(tp + tn, total),
+        "auc": roc_auc(labels, probs),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "tp": int(tp), "tn": int(tn), "fp": int(fp), "fn": int(fn),
+        "positives": int(labels.sum()),
+        "negatives": int(total - labels.sum()),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Structured metric writer
 # ---------------------------------------------------------------------------
 

@@ -15,13 +15,13 @@ from __future__ import annotations
 import glob
 import logging
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import numpy as np
 
 from mimm_tpu import checkpoint as ckpt
-from mimm_tpu.metrics import gdv_calculation
+from mimm_tpu.metrics import binary_classification_report, gdv_calculation
 from mimm_tpu.ops.image_norm import device_normalize
 from mimm_tpu.models.mlp import BasicMLP
 from mimm_tpu.models.resnet import ResNet256_6_2_1
@@ -67,32 +67,44 @@ def _load_classifier(cfg, mlp_layer: List[int], disease: str,
     return clf, clf_params
 
 
-def _run_validation(forward, loader) -> Tuple[float, float]:
+def _run_validation(forward, loader) -> dict:
     """Shared test loop (reference validate.py:111-151): accuracy =
-    mean(round(sigmoid) == label); GDV over collected pos/neg embeddings."""
-    test_count = total = 0
+    mean(round(sigmoid) == label); GDV over collected pos/neg embeddings.
+    Extends the reference with AUC-ROC / precision / recall / F1 and the
+    confusion counts (metrics.binary_classification_report)."""
+    all_probs, all_labels = [], []
     pos_emb, neg_emb = [], []
     for batch in loader.epoch(0):
         emb, probs = forward(batch["image"])
         emb = np.asarray(emb)
         labels = np.asarray(batch["label"])
-        pred = np.round(np.asarray(probs))
-        test_count += int((pred == labels).sum())
-        total += len(labels)
+        all_probs.append(np.asarray(probs))
+        all_labels.append(labels)
         pos_emb.extend(emb[labels == 1])
         neg_emb.extend(emb[labels == 0])
 
-    accuracy = test_count / max(1, total)
-    separability = gdv_calculation(pos_emb, neg_emb) \
+    if all_labels:
+        report = binary_classification_report(np.concatenate(all_labels),
+                                              np.concatenate(all_probs))
+    else:
+        report = binary_classification_report(np.zeros(0), np.zeros(0))
+    report["separability"] = gdv_calculation(pos_emb, neg_emb) \
         if pos_emb and neg_emb else float("nan")
-    logger.info("Accuracy: %s  Separability: %s", accuracy, separability)
-    return accuracy, separability
+    logger.info("Accuracy: %s  Separability: %s", report["accuracy"],
+                report["separability"])
+    logger.info("AUC: %s  Precision: %s  Recall: %s  F1: %s  "
+                "(tp=%d tn=%d fp=%d fn=%d)", report["auc"],
+                report["precision"], report["recall"], report["f1"],
+                report["tp"], report["tn"], report["fp"], report["fn"])
+    return report
 
 
 def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
-                        dataset=None, classifier_epoch: Optional[int] = None
-                        ) -> Tuple[float, float]:
-    """Returns (accuracy, separability) like reference validate.py:63-153."""
+                        dataset=None, classifier_epoch: Optional[int] = None,
+                        extended: bool = False):
+    """Returns (accuracy, separability) like reference validate.py:63-153;
+    with ``extended=True`` the full report dict (accuracy, auc, precision,
+    recall, f1, confusion counts, separability) instead."""
     loader = _make_loader(cfg, disease, dataset)
 
     image_model = ResNet256_6_2_1(output_channels=cfg.output_channels)
@@ -110,7 +122,9 @@ def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
         emb = outs[1]
         return emb, clf.apply(clf_params, emb)[:, 0]
 
-    return _run_validation(forward, loader)
+    report = _run_validation(forward, loader)
+    return report if extended else (report["accuracy"],
+                                    report["separability"])
 
 
 def find_ae_checkpoint(save_directory: str, epoch: Optional[int] = None) -> str:
@@ -128,7 +142,8 @@ def find_ae_checkpoint(save_directory: str, epoch: Optional[int] = None) -> str:
 
 def validate_UniModal(cfg, mlp_layer: List[int], disease: str,
                       dataset=None, classifier_epoch: Optional[int] = None,
-                      ae_epoch: Optional[int] = None) -> Tuple[float, float]:
+                      ae_epoch: Optional[int] = None,
+                      extended: bool = False):
     """Unimodal counterpart (reference validate.py's um_*.log runs,
     save_dir/validation/um_*.log): embeddings come from the pretrained
     ResNetAE bottleneck (``ResNetAE.encode``, autoencoder_model.py:206-208)
@@ -153,4 +168,6 @@ def validate_UniModal(cfg, mlp_layer: List[int], disease: str,
                        method=ResNetAE.encode)
         return emb, clf.apply(clf_params, emb)[:, 0]
 
-    return _run_validation(forward, loader)
+    report = _run_validation(forward, loader)
+    return report if extended else (report["accuracy"],
+                                    report["separability"])

@@ -58,3 +58,12 @@ def test_validate_unimodal_chain(tmp_path):
     acc, gdv = validate_UniModal(cfg, [16], cfg.disease_label, dataset=dds)
     assert 0.0 <= acc <= 1.0
     assert np.isfinite(gdv)
+
+    # extended report (beyond reference parity): same accuracy/GDV plus
+    # AUC/precision/recall/F1 and consistent confusion counts
+    rep = validate_UniModal(cfg, [16], cfg.disease_label, dataset=dds,
+                            extended=True)
+    assert rep["accuracy"] == acc and rep["separability"] == gdv
+    assert rep["tp"] + rep["tn"] + rep["fp"] + rep["fn"] == len(dds)
+    assert rep["positives"] == 6 and rep["negatives"] == 6
+    assert np.isfinite(rep["auc"])
