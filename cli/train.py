@@ -96,6 +96,10 @@ def main():
                         choices=["mi", "ae", "classifier_mm", "classifier_um"])
     stage_args, rest = parser.parse_known_args()
     cfg = construct_training_parameters(rest)
+    # SIGTERM (pod eviction) -> the active trainer checkpoints and exits
+    # at its next step boundary (mimm_tpu/preempt.py)
+    from mimm_tpu import preempt
+    preempt.install()
     if stage_args.stage == "mi":
         train_MI_models(cfg)
     elif stage_args.stage == "ae":

@@ -37,6 +37,7 @@ import numpy as np
 import optax
 
 from mimm_tpu import checkpoint as ckpt
+from mimm_tpu import preempt
 from mimm_tpu.metrics import MetricWriter, Plot_Training
 from mimm_tpu.models.mlp import BasicMLP
 from mimm_tpu.ops.image_norm import device_normalize
@@ -167,7 +168,12 @@ class ClassifierModelManager:
                                  train=False, drop_last=False)
 
     def train(self, num_epochs: Optional[int] = None,
-              export_torch_bins: bool = True):
+              export_torch_bins: bool = True,
+              resume_from: Optional[str] = None):
+        """``resume_from``: path to a ``classifier_<label>_preempt.ckpt``
+        (written when a SIGTERM lands mid-run — mimm_tpu.preempt) —
+        restores the MLP + optimizer state and the best-accuracy
+        bookkeeping (sidecar ``.json``) and continues mid-epoch."""
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_train_epochs_classifier
         os.makedirs(cfg.save_directory, exist_ok=True)
@@ -190,23 +196,77 @@ class ClassifierModelManager:
         tr_losses, tr_accs, va_losses, va_accs = [], [], [], []
         max_accuracy = 0.0
         best_path = None
-        for epoch in range(num_epochs):
+        start_epoch = 0
+        resume_start_batch = 0
+        if resume_from is not None:
+            import json
+            target = state._asdict() if os.path.isdir(resume_from) else None
+            state = ClassifierTrainState(**ckpt.load_checkpoint(
+                resume_from, target=target))
+            aux_path = resume_from.rstrip("/") + ".json"
+            if os.path.exists(aux_path):
+                aux = json.load(open(aux_path))
+                max_accuracy = aux.get("max_accuracy", 0.0)
+                best_path = aux.get("best_path")
+                tr_losses = aux.get("tr_losses", [])
+                tr_accs = aux.get("tr_accs", [])
+                va_losses = aux.get("va_losses", [])
+                va_accs = aux.get("va_accs", [])
+            start_epoch = int(state.step) // steps_per_epoch
+            resume_start_batch = int(state.step) % steps_per_epoch
+            logger.info("Resumed classifier from %s at step %d (epoch %d, "
+                        "batch %d)", resume_from, int(state.step),
+                        start_epoch, resume_start_batch)
+        preempt_sync = jax.process_count() > 1
+        for epoch in range(start_epoch, num_epochs):
             start = time.time()
+            start_batch = resume_start_batch if epoch == start_epoch else 0
             step_losses = []
             epoch_embs = []  # reused for train accuracy: the loader is
             # deterministic per (seed, epoch), so a fresh evaluate pass
             # would recompute these exact frozen-encoder embeddings
-            for batch in self.train_loader.epoch(epoch):
+            preempted = False
+            for batch in self.train_loader.epoch(epoch,
+                                                 start_batch=start_batch):
                 emb = self.embed(batch["image"])
                 epoch_embs.append((emb, batch["label"]))
                 state, loss = step_fn(state, emb, jnp.asarray(batch["label"]))
                 step_losses.append(loss)  # device scalar; read once per epoch
+                if preempt.should_stop(sync=preempt_sync):
+                    preempted = True
+                    break
+            if preempted:
+                # SIGTERM (pod eviction): save the MLP+optimizer tree plus
+                # the best-accuracy bookkeeping and stop; resume_from this
+                # checkpoint continues mid-epoch (mimm_tpu.preempt)
+                import json
+                path = ckpt.save_checkpoint(
+                    os.path.join(cfg.save_directory,
+                                 f"classifier_{cfg.disease_label}_preempt.ckpt"),
+                    state._asdict(),
+                    format=getattr(cfg, "checkpoint_format", "pickle"))
+                if jax.process_index() == 0:
+                    with open(path.rstrip("/") + ".json", "w") as f:
+                        json.dump({"max_accuracy": max_accuracy,
+                                   "best_path": best_path,
+                                   "tr_losses": tr_losses, "tr_accs": tr_accs,
+                                   "va_losses": va_losses, "va_accs": va_accs},
+                                  f)
+                logger.warning("preemption requested — saved %s at step %d "
+                               "and stopping", path, int(state.step))
+                writer.write(step=int(state.step), preempted=1)
+                writer.close()
+                ckpt.wait_for_async_saves()
+                return state, max_accuracy, best_path
             tr_loss = float(np.mean(jax.device_get(step_losses))) \
                 if step_losses else 0.0
 
+            # a mid-epoch-resumed epoch only embedded the REMAINING batches;
+            # train accuracy then needs a fresh full pass instead of the cache
             tr_acc, _, _ = evaluate(self.mlp, state.params, self.embed,
                                     self.train_loader, epoch, predict=predict,
-                                    cached_batches=epoch_embs)
+                                    cached_batches=epoch_embs
+                                    if start_batch == 0 else None)
             va_acc, va_loss, tallies = evaluate(self.mlp, state.params,
                                                 self.embed, self.val_loader,
                                                 epoch, predict=predict)

@@ -18,8 +18,8 @@ from mimm_tpu import preempt
 from mimm_tpu.config import TrainingConfig
 from mimm_tpu.data.pipeline import Loader
 
-from tests.test_train import (FakeImageDataset, FakePairedDataset,
-                              small_mesh)
+from tests.test_train import (FakeDiseaseDataset, FakeImageDataset,
+                              FakePairedDataset, small_mesh)
 
 
 @pytest.fixture(autouse=True)
@@ -123,6 +123,50 @@ def test_ae_preempt_then_resume_matches_uninterrupted(cfg, monkeypatch):
         np.asarray(jax.device_get(s_res.params["fc1"]["kernel"])),
         np.asarray(jax.device_get(s_full.params["fc1"]["kernel"])),
         rtol=1e-6, atol=1e-7)
+
+
+def test_classifier_preempt_then_resume_matches_uninterrupted(cfg,
+                                                              monkeypatch):
+    import jax.numpy as jnp
+    from mimm_tpu.train.ae import build_ae_model
+    from mimm_tpu.train.classifier import (ClassifierModelManager,
+                                           make_embedding_fn)
+
+    cfg = cfg.replace(num_train_epochs_classifier=2,
+                      disease_label="Pneumonia")
+    ae = build_ae_model(cfg)
+    variables = ae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                        train=False)
+    embed = make_embedding_fn("unimodal", ae, variables)
+    ds = FakeDiseaseDataset(n=16, size=64)  # 12 train / batch 4 = 3 steps
+
+    cfg_a = cfg.replace(save_directory=cfg.save_directory + "_a")
+    mgr_a = ClassifierModelManager(cfg_a, embed, [32, 16], dataset=ds,
+                                   val_fraction=0.25)
+    s_full, acc_full, _ = mgr_a.train(num_epochs=2)
+
+    _stop_after(monkeypatch, 2)
+    mgr_b = ClassifierModelManager(cfg, embed, [32, 16], dataset=ds,
+                                   val_fraction=0.25)
+    s_part, _, _ = mgr_b.train(num_epochs=2)
+    assert int(s_part.step) == 2
+    ck = os.path.join(cfg.save_directory,
+                      "classifier_Pneumonia_preempt.ckpt")
+    assert os.path.exists(ck) and os.path.exists(ck + ".json")
+
+    monkeypatch.setattr(preempt, "should_stop", lambda sync=False: False)
+    mgr_c = ClassifierModelManager(cfg, embed, [32, 16], dataset=ds,
+                                   val_fraction=0.25)
+    s_res, acc_res, best_res = mgr_c.train(num_epochs=2, resume_from=ck)
+    assert int(s_res.step) == int(s_full.step) == 6
+    assert acc_res == acc_full
+    assert best_res is not None
+    flat_a = jax.tree_util.tree_leaves(jax.device_get(s_full.params))
+    flat_b = jax.tree_util.tree_leaves(jax.device_get(s_res.params))
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_mi_preempt_then_resume_matches_uninterrupted(cfg, monkeypatch):
