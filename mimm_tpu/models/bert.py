@@ -92,11 +92,13 @@ class BertConfig:
     # softmax inside, dropout drawn from the on-core PRNG.
     flash_attention: bool = False
     # Only use the Pallas kernel at/above this sequence length.  Measured
-    # on v5e (B=64, fwd+bwd+opt): the XLA einsum path wins below ~256
-    # (L=128: 42.6 vs 55.2 ms; L=192: 81.6 vs 83.0) because the kernel's
-    # (batch, head) grid of tiny (L, 64) blocks underutilizes the MXU,
-    # while at L=320 the kernel's avoided (B, H, L, L) f32 prob/mask HBM
-    # roundtrips dominate (132.8 vs 166.7 ms) — tools/bench_bert_variants.py.
+    # on v5e (B=64, fwd+bwd+opt, bf16-operand kernel): the XLA einsum path
+    # wins below ~192 (L=128: 36.6 vs 48.2 ms) because the kernel's
+    # (batch, head) grid of tiny (L, 64) blocks underutilizes the MXU; at
+    # L=192 the two are at parity (76.8 vs 74.1, within tunnel noise), and
+    # at L=320 the kernel's avoided (B, H, L, L) prob/mask HBM roundtrips
+    # dominate (123.5 vs 158.1 ms) — BERT_VARIANTS=flash
+    # tools/bench_bert_variants.py.
     flash_min_seq_len: int = 256
     # tanh-approximated GELU (production perf knob): XLA's erf lowering
     # costs 2.8/5.6 ms per step at L=64/128 (B=64, v5e) while the tanh

@@ -34,6 +34,11 @@ from mimm_tpu.ops.common import interpret as _interpret
 
 
 def _probs(q, k, bias_row, scale):
+    # q/k stay in their input dtype (bfloat16 in production): the MXU runs
+    # bf16 x bf16 at full rate with float32 accumulation
+    # (preferred_element_type), vs ~1/4 rate for f32 x f32 operands.  The
+    # XLA einsum path computes scores the same way (bf16 operands, f32
+    # accumulate), so this is parity-neutral; softmax stays float32.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (L, L)
     s = s * scale + bias_row            # bias broadcasts (1, L) -> (L, L)
@@ -56,22 +61,28 @@ def _dropout_mask(seed_ref, rate: float, shape):
 
 
 def _fwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     p = _probs(q, k, bias_ref[0], scale)
     if rate > 0.0:
         p = p * _dropout_mask(seed_ref, rate, p.shape)
-    o_ref[0, 0, :, :] = jnp.dot(p, v, preferred_element_type=jnp.float32) \
+    # probs cast to the input dtype for the PV dot (the XLA path also
+    # feeds bf16 probs to its context einsum); f32 accumulation
+    o_ref[0, 0, :, :] = jnp.dot(p.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32) \
         .astype(o_ref.dtype)
 
 
 def _bwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
                 dq_ref, dk_ref, dv_ref):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    # matmul operands stay in the input dtype (bf16 at full MXU rate, f32
+    # accumulation) — see _probs; the softmax VJP math runs in f32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    in_dtype = q.dtype
     p = _probs(q, k, bias_ref[0], scale)
     if rate > 0.0:
         m = _dropout_mask(seed_ref, rate, p.shape)
@@ -81,7 +92,7 @@ def _bwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
         pd = p
     # dV = pd^T do
     dv_ref[0, 0, :, :] = jax.lax.dot_general(
-        pd, do, (((0,), (0,)), ((), ())),
+        pd.astype(in_dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     # d(pd) = do V^T ;  dp = d(pd) * mask
     dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -89,7 +100,7 @@ def _bwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref, do_ref,
     dp = dpd * m if m is not None else dpd
     # softmax vjp: ds = p * (dp - sum(dp * p, axis=-1))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = ds * scale
+    ds = (ds * scale).astype(in_dtype)
     dq_ref[0, 0, :, :] = jnp.dot(ds, k, preferred_element_type=jnp.float32) \
         .astype(dq_ref.dtype)
     dk_ref[0, 0, :, :] = jax.lax.dot_general(

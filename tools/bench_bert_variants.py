@@ -90,6 +90,21 @@ def main():
         out[tag] = round(_timed(step, state, None) * 1e3, 2)
 
     mode = os.environ.get("BERT_VARIANTS", "l128")
+    if mode == "flash":
+        # fused-attention kernel vs the XLA einsum path at every production
+        # bucket length (flash_min_seq_len=1 forces the kernel everywhere).
+        # Run after any flash-kernel change to re-derive the dispatch
+        # threshold (BertConfig.flash_min_seq_len).
+        for L_ in (64, 96, 128, 192, 320):
+            ids = jnp.asarray(rng.integers(0, 30522,
+                                           (BATCH, L_)).astype(np.int32))
+            bert_step_time(f"L{L_}_einsum", flash_attention=False,
+                           gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+            bert_step_time(f"L{L_}_flash", flash_attention=True,
+                           flash_min_seq_len=1, gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+        return
     if mode == "ffn":
         # fused-FFN Pallas kernel A/B at the production bucket lengths
         # (tanh-GELU baseline vs ops/fused_ffn.py), dropout on, AdamW on.
