@@ -63,7 +63,14 @@ def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
     configure_run_logging(os.path.join(
         cfg.save_directory, f"training_classifier_{cfg.disease_label}.log"))
     manager = ClassifierModelManager(cfg, embed_fn, mlp_hidden_layers)
-    return manager.train()
+    # --resume_from auto: pick up a preemption checkpoint if one exists
+    # (classifier_<label>_preempt.ckpt, written on SIGTERM — mimm_tpu.preempt)
+    resume = getattr(cfg, "resume_from", "") or None
+    if resume == "auto":
+        candidate = os.path.join(
+            cfg.save_directory, f"classifier_{cfg.disease_label}_preempt.ckpt")
+        resume = candidate if os.path.exists(candidate) else None
+    return manager.train(resume_from=resume)
 
 
 def main():
