@@ -217,6 +217,14 @@ class TrainingConfig:
     # too).  Same math — equivalence-tested against the replicated step
     # (tests/test_sharding.py).  No reference counterpart (single-device).
     sequence_parallel: bool = False
+    # GPipe-style PIPELINE PARALLELISM for the text tower (requires a
+    # 'pipe' mesh axis, e.g. mesh_shape {'data': 2, 'pipe': 4}): the BERT
+    # encoder stack is split depth-wise into mesh['pipe'] stages and the
+    # batch into this many microbatches (0 = one per stage), scheduled via
+    # shard_map + ppermute (parallel/pipeline.py).  Same math and the same
+    # checkpoint layout — equivalence-tested against the plain forward
+    # (tests/test_pipeline_parallel.py).  No reference counterpart.
+    pipeline_microbatches: int = 0
     # Resume source for the MI/AE trainers: "" (fresh run), a path to a
     # native checkpoint (mi_epoch<N>.ckpt / ae_epoch<N>.ckpt /
     # *_preempt.ckpt — restores params + optimizer states + step and

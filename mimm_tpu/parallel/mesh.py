@@ -173,9 +173,9 @@ def seq_sharding(mesh: Mesh) -> Optional[NamedSharding]:
     has no 'model' axis (SP without TP has no all-reduce to split).
 
     No reference counterpart (the reference is single-device, SURVEY.md
-    §2); pipeline/expert parallelism are deliberately absent — a 12-layer
-    BERT-base + 6-block ResNet has no pipeline depth or MoE structure to
-    shard, so dp x tp(+sp) is the whole useful mesh for this model family.
+    §2).  Pipeline parallelism lives in parallel/pipeline.py (GPipe
+    schedule over a 'pipe' mesh axis); expert parallelism is deliberately
+    absent — this model family has no MoE structure to shard.
     """
     if MODEL_AXIS not in mesh.axis_names:
         return None

@@ -159,12 +159,18 @@ def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,
 
 
 def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
-                      data_shards: int = 1):
+                      data_shards: int = 1, mesh=None):
     """UNJITTED step body (state, batch) -> (state, loss): forward +
     pair-scores + bound + backward + all three optimizer updates.
 
     Shared by the jitted single step, the ``lax.scan`` multi-step, and
     tests — one body, no re-derivation from a jit wrapper.
+
+    ``mesh``: pass the training mesh to activate PIPELINE PARALLELISM of
+    the text tower when it has a 'pipe' axis (parallel/pipeline.py): the
+    encoder stack runs as a GPipe microbatch schedule with
+    ``cfg.pipeline_microbatches`` microbatches (0 = one per stage).
+    Params/checkpoints are unchanged — pp is an execution schedule.
 
     Negative sourcing (``cfg.global_negatives``):
     * True (default): one (B, B) score matrix over the whole (global) batch.
@@ -218,11 +224,38 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         scores = score_fn(critic_params, emb_img, emb_txt)
         return bound_fn(scores, sids)
 
+    from mimm_tpu.parallel.pipeline import PIPE_AXIS, pipeline_stage_count
+    use_pp = mesh is not None and PIPE_AXIS in mesh.axis_names \
+        and pipeline_stage_count(mesh) > 1
+
     def embed(joint_params, batch_stats, batch, dropout_rng):
         """One tower forward: (compact) batch -> (emb_img, emb_txt), new
         batch_stats.  decompact here so grad-cache chunks never widen more
         than one chunk of images at a time."""
         batch = decompact_batch(batch)
+        if use_pp:
+            # pipeline-parallel text tower (parallel/pipeline.py): the
+            # image tower runs its plain (replicated-over-'pipe') forward;
+            # the BERT encoder stack runs the GPipe schedule over 'pipe'.
+            from mimm_tpu.models.resnet import ResNet256_6_2_1
+            from mimm_tpu.parallel.pipeline import pipelined_textbert_apply
+            k_img, k_txt = jax.random.split(dropout_rng)
+            img_model = ResNet256_6_2_1(output_channels=model.output_channels,
+                                        dtype=model.dtype,
+                                        s2d_stem=model.s2d_stem,
+                                        pallas_stem=model.pallas_stem)
+            outs, mutated = img_model.apply(
+                {"params": joint_params["image_model"],
+                 "batch_stats": batch_stats.get("image_model", {})},
+                batch["image"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_img})
+            emb_img = outs[1]
+            emb_txt, _ = pipelined_textbert_apply(
+                model.bert_config, joint_params["text_model"], mesh,
+                batch["txt_ids"], batch["txt_segments"], batch["txt_masks"],
+                num_microbatches=getattr(cfg, "pipeline_microbatches", 0),
+                deterministic=False, dropout_rng=k_txt, dtype=model.dtype)
+            return (emb_img, emb_txt), {"image_model": mutated["batch_stats"]}
         outputs, mutated = model.apply(
             {"params": joint_params, "batch_stats": batch_stats},
             batch["image"], batch["txt_ids"], batch["txt_masks"],
@@ -350,9 +383,10 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
 
 
 def make_mi_train_step(model: ImageReportModel, txs: MIOptimizers, cfg,
-                       data_shards: int = 1):
+                       data_shards: int = 1, mesh=None):
     """Jitted (donated-state) single train step; see make_mi_step_body."""
-    body = make_mi_step_body(model, txs, cfg, data_shards=data_shards)
+    body = make_mi_step_body(model, txs, cfg, data_shards=data_shards,
+                             mesh=mesh)
     return jax.jit(body, donate_argnums=0)
 
 
@@ -396,13 +430,14 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
 
 
 def make_mi_multi_step(model: ImageReportModel, txs: MIOptimizers, cfg,
-                       data_shards: int = 1):
+                       data_shards: int = 1, mesh=None):
     """K chained train steps in ONE dispatch via lax.scan over a stacked
     super-batch (leading axis num_steps).  Semantically identical to K
     sequential ``make_mi_train_step`` calls (same shared body); amortizes
     per-dispatch overhead (~4 ms through the tunnel — ~9%% of a
     short-bucket step).  Returns (state, losses[num_steps])."""
-    body = make_mi_step_body(model, txs, cfg, data_shards=data_shards)
+    body = make_mi_step_body(model, txs, cfg, data_shards=data_shards,
+                             mesh=mesh)
 
     @partial(jax.jit, donate_argnums=0)
     def multi_step(state: MITrainState, batches):
@@ -511,10 +546,10 @@ class MultiModalManager:
         data_shards = 1 if cfg.global_negatives else \
             int(dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1))
         train_step = make_mi_train_step(self.model, txs, cfg,
-                                        data_shards=data_shards)
+                                        data_shards=data_shards, mesh=mesh)
         scan_steps = max(1, int(getattr(cfg, "scan_steps", 1)))
         multi_step = make_mi_multi_step(self.model, txs, cfg,
-                                        data_shards=data_shards) \
+                                        data_shards=data_shards, mesh=mesh) \
             if scan_steps > 1 else None
 
         def batch_shard(b):
