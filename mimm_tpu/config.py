@@ -108,7 +108,9 @@ class TrainingConfig:
     # is emitted) and the loss is the mean over blocks (train/mi.py
     # make_mi_step_body).
     global_negatives: bool = True
-    # Mesh shape, e.g. {'data': 8} or {'data': 4, 'model': 2}.
+    # Mesh shape as ((axis, size), ...) pairs — () = all devices on 'data'.
+    # CLI: --mesh_shape data=4,model=2 (axes: 'data' dp; 'model' tp+sp;
+    # 'pipe' pipeline parallelism — parallel/mesh.py, parallel/pipeline.py).
     mesh_shape: tuple = ()
     # Text-tower LR (the reference hard-codes 2e-5 at main_utils.py:167).
     bert_lr: float = 2e-5
@@ -245,9 +247,27 @@ class TrainingConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _parse_mesh_shape(s: str) -> tuple:
+    """``"data=4,model=2"`` -> (("data", 4), ("model", 2)).  Axis order is
+    the mesh's major-to-minor device order (parallel/mesh.py make_mesh)."""
+    if not s.strip():
+        return ()
+    pairs = []
+    for part in s.split(","):
+        name, _, size = part.partition("=")
+        if not name.strip() or not size.strip().isdigit():
+            raise argparse.ArgumentTypeError(
+                f"--mesh_shape expects axis=size pairs, e.g. "
+                f"'data=4,model=2'; got {part!r}")
+        pairs.append((name.strip(), int(size)))
+    return tuple(pairs)
+
+
 def _add_fields(parser: argparse.ArgumentParser, cfg) -> None:
     for f in dataclasses.fields(cfg):
         if f.name == "mesh_shape":
+            parser.add_argument("--mesh_shape", type=_parse_mesh_shape,
+                                default=getattr(cfg, f.name))
             continue
         arg_type = type(getattr(cfg, f.name))
         if arg_type is bool:

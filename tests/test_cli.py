@@ -59,3 +59,12 @@ def test_tuple_flags_parse_comma_separated():
     cfg = construct_training_parameters(["--seq_buckets", "64,128,192,320"])
     assert cfg.seq_buckets == (64, 128, 192, 320)
     assert construct_training_parameters([]).seq_buckets == ()
+
+
+def test_mesh_shape_flag_parses_axis_pairs():
+    cfg = construct_training_parameters(["--mesh_shape", "data=4,model=2"])
+    assert cfg.mesh_shape == (("data", 4), ("model", 2))
+    assert dict(cfg.mesh_shape) == {"data": 4, "model": 2}
+    cfg_pp = construct_training_parameters(["--mesh_shape", "data=2,pipe=4"])
+    assert dict(cfg_pp.mesh_shape) == {"data": 2, "pipe": 4}
+    assert construct_training_parameters([]).mesh_shape == ()
