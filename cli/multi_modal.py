@@ -48,11 +48,9 @@ def train_mutual_information(cfg: TrainingConfig):
     preempt.install()
 
     manager = MultiModalManager(cfg)
-    resume = getattr(cfg, "resume_from", "") or None
-    if resume == "auto":
-        candidate = os.path.join(cfg.save_directory, "mi_preempt.ckpt")
-        resume = candidate if os.path.exists(candidate) else None
-    state = manager.train(token_features=features, resume_from=resume)
+    state = manager.train(token_features=features,
+                          resume_from=preempt.resolve_resume(
+                              cfg, "mi_preempt.ckpt"))
     return manager, state
 
 
@@ -60,17 +58,15 @@ def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
     from mimm_tpu.metrics import configure_run_logging
     from mimm_tpu.train.classifier import ClassifierModelManager
 
+    from mimm_tpu import preempt
+
     configure_run_logging(os.path.join(
         cfg.save_directory, f"training_classifier_{cfg.disease_label}.log"))
     manager = ClassifierModelManager(cfg, embed_fn, mlp_hidden_layers)
     # --resume_from auto: pick up a preemption checkpoint if one exists
     # (classifier_<label>_preempt.ckpt, written on SIGTERM — mimm_tpu.preempt)
-    resume = getattr(cfg, "resume_from", "") or None
-    if resume == "auto":
-        candidate = os.path.join(
-            cfg.save_directory, f"classifier_{cfg.disease_label}_preempt.ckpt")
-        resume = candidate if os.path.exists(candidate) else None
-    return manager.train(resume_from=resume)
+    return manager.train(resume_from=preempt.resolve_resume(
+        cfg, f"classifier_{cfg.disease_label}_preempt.ckpt"))
 
 
 def main():

@@ -27,10 +27,13 @@ def train_MI_models(base_cfg):
         from .multi_modal import train_mutual_information
     except ImportError:  # direct `python cli/train.py` execution
         from cli.multi_modal import train_mutual_information
+    from mimm_tpu import preempt
 
     for critic in CRITICS:
         for epochs in TRAINING_EPOCHS:
             for batch in BATCH_SIZES:
+                if preempt.requested():
+                    return  # SIGTERM grace window: stop the sweep cleanly
                 cfg = base_cfg.replace(
                     mi_estimator=critic, num_train_epochs=epochs,
                     batch_size=batch,
@@ -40,12 +43,14 @@ def train_MI_models(base_cfg):
 
 
 def train_AE_models(base_cfg):
+    from mimm_tpu import preempt
     from mimm_tpu.train.ae import train_auto_encoder
 
     cfg = base_cfg.replace(save_directory=os.path.join(
         base_cfg.save_directory, f"um_ae_epoch{base_cfg.num_train_epochs}"))
     os.makedirs(cfg.save_directory, exist_ok=True)
-    train_auto_encoder(cfg)
+    train_auto_encoder(cfg, resume_from=preempt.resolve_resume(
+        cfg, "ae_preempt.ckpt"))
 
 
 def train_Classifier(base_cfg, isMultiModal: bool):
@@ -80,10 +85,16 @@ def train_Classifier(base_cfg, isMultiModal: bool):
         variables = ckpt.ae_variables_from_state_dict(sd)
         embed = make_embedding_fn("unimodal", model, variables)
 
+    from mimm_tpu import preempt
     for disease in DISEASES:
         for layers in MLP_LAYERS:
             for opt in OPTIMIZERS:
                 for lr in LEARNING_RATES:
+                    if preempt.requested():
+                        # SIGTERM grace window: the interrupted run has
+                        # already saved its preempt ckpt — don't burn the
+                        # remaining seconds compiling the next sweep point
+                        return
                     cfg = base_cfg.replace(
                         save_directory=run_dir, disease_label=disease,
                         optimizer=opt, init_lr=lr)

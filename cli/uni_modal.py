@@ -18,11 +18,8 @@ def train_auto_encoder(cfg):
     # resume from <save_directory>/ae_preempt.ckpt
     from mimm_tpu import preempt
     preempt.install()
-    resume = getattr(cfg, "resume_from", "") or None
-    if resume == "auto":
-        candidate = os.path.join(cfg.save_directory, "ae_preempt.ckpt")
-        resume = candidate if os.path.exists(candidate) else None
-    return _train(cfg, resume_from=resume)
+    return _train(cfg, resume_from=preempt.resolve_resume(
+        cfg, "ae_preempt.ckpt"))
 
 
 def main():

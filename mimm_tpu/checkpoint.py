@@ -63,9 +63,15 @@ def save_checkpoint(path: str, tree: Any, format: str = "pickle") -> str:
         return _save_orbax(path, tree, wait=(format != "orbax_async"))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     host_tree = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree)
-    with open(path, "wb") as f:
+    # temp + atomic rename: a SIGKILL mid-write (e.g. the preemption grace
+    # window expiring during the preempt save) must never leave a truncated
+    # file at the final path — `--resume_from auto` gates on existence and
+    # would otherwise crash-loop on the corrupt checkpoint every restart
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump({"__mimm_ckpt__": CKPT_FORMAT_VERSION, "tree": host_tree},
                     f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
     return path
 
 

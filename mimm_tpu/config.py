@@ -255,11 +255,15 @@ def _parse_mesh_shape(s: str) -> tuple:
     pairs = []
     for part in s.split(","):
         name, _, size = part.partition("=")
-        if not name.strip() or not size.strip().isdigit():
+        name = name.strip()
+        if not name or not size.strip().isdigit() or int(size) < 1:
             raise argparse.ArgumentTypeError(
-                f"--mesh_shape expects axis=size pairs, e.g. "
-                f"'data=4,model=2'; got {part!r}")
-        pairs.append((name.strip(), int(size)))
+                f"--mesh_shape expects axis=size pairs with size >= 1, "
+                f"e.g. 'data=4,model=2'; got {part!r}")
+        if any(n == name for n, _ in pairs):
+            raise argparse.ArgumentTypeError(
+                f"--mesh_shape axis {name!r} given twice")
+        pairs.append((name, int(size)))
     return tuple(pairs)
 
 

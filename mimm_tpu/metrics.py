@@ -200,7 +200,11 @@ def binary_classification_report(labels, probs, threshold: float = 0.5) -> dict:
     are reported as NaN, not 0, so degenerate splits are visible."""
     labels = np.asarray(labels, np.float64).ravel()
     probs = np.asarray(probs, np.float64).ravel()
-    pred = (probs >= threshold).astype(np.float64)
+    # at the default 0.5 threshold, reproduce the reference's np.round
+    # thresholding EXACTLY (half-to-even: a dead sigmoid at exactly 0.5
+    # scores negative, validate.py:143); custom thresholds use >=
+    pred = np.round(probs) if threshold == 0.5 \
+        else (probs >= threshold).astype(np.float64)
     tp = float(((pred == 1) & (labels == 1)).sum())
     tn = float(((pred == 0) & (labels == 0)).sum())
     fp = float(((pred == 1) & (labels == 0)).sum())
@@ -212,8 +216,9 @@ def binary_classification_report(labels, probs, threshold: float = 0.5) -> dict:
 
     precision = _ratio(tp, tp + fp)
     recall = _ratio(tp, tp + fn)
-    f1 = _ratio(2 * precision * recall, precision + recall) \
-        if precision == precision and recall == recall else float("nan")
+    # sklearn-equivalent form: 0 (not NaN) for an all-wrong classifier
+    # (tp=0 with fp+fn>0); NaN only when the whole denominator is empty
+    f1 = _ratio(2 * tp, 2 * tp + fp + fn)
     return {
         "accuracy": _ratio(tp + tn, total),
         "auc": roc_auc(labels, probs),

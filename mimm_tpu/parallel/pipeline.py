@@ -5,14 +5,21 @@ collective program.
 No reference counterpart (the reference is single-device, SURVEY.md §2);
 this completes the mesh-parallelism family alongside dp (batch over
 'data'), tp (Megatron shardings over 'model') and sp (sequence-sharded
-activations): pp shards the DEPTH of the text tower, so a pod can hold
-one BERT replica per pipeline group instead of per chip.  For bert-base
-at CXR report lengths a single v5e chip fits the whole model, so pp is an
-optional strategy — it pays off when HBM per chip shrinks relative to the
-model+activation footprint (bigger text towers, longer sequences, or
-grad-cache batches where even the chunked activations crowd out weight
-replicas).  Expert parallelism remains out of scope: this model family
-has no MoE structure to shard.
+activations): pp splits the text tower's DEPTH across stages.
+
+What pp buys in this build — and what it doesn't: the pipeline shards
+COMPUTE and backward ACTIVATIONS depth-wise (each stage materializes
+activations only for its num_layers/S local layers; the in-flight
+stacked parameter copy is also 'pipe'-sharded, 1/S per chip).  Parameter
+and optimizer-state memory is NOT reduced yet: the train state keeps the
+plain replicated layout (shard_mi_state has no pp-aware placement), so
+each chip still holds a full unstacked BERT replica + AdamW moments — a
+stacked-resident parameter/optimizer layout is the follow-up that would
+complete the memory story.  For bert-base at CXR report lengths a single
+v5e chip fits the whole model anyway; pp here is the execution schedule
+(and its equivalence proof) for towers whose per-layer activations are
+the binding constraint.  Expert parallelism remains out of scope: this
+model family has no MoE structure to shard.
 
 Design (the classic JAX pipelining recipe, cf. jax shard_map docs and the
 scaling-book's pipelining chapter):

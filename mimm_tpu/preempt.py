@@ -25,11 +25,13 @@ from __future__ import annotations
 import logging
 import signal
 import threading
+from typing import Optional
 
 logger = logging.getLogger(__name__)
 
 _flag = threading.Event()
 _installed: dict = {}   # signum -> previous handler
+_sync_calls = 0         # should_stop(sync=True) throttle counter
 
 
 def install(signals=(signal.SIGTERM,)) -> None:
@@ -68,7 +70,23 @@ def request() -> None:
 
 
 def clear() -> None:
+    global _sync_calls
     _flag.clear()
+    _sync_calls = 0
+
+
+def resolve_resume(cfg, ckpt_name: str) -> Optional[str]:
+    """Resolve ``cfg.resume_from`` for a trainer whose preemption
+    checkpoint is ``<save_directory>/<ckpt_name>``: "" -> None (fresh
+    run), "auto" -> that checkpoint when it exists else None, any other
+    value -> itself (an explicit checkpoint path).  One place for the
+    'auto' contract shared by every CLI entry point."""
+    import os
+    resume = getattr(cfg, "resume_from", "") or None
+    if resume == "auto":
+        candidate = os.path.join(cfg.save_directory, ckpt_name)
+        resume = candidate if os.path.exists(candidate) else None
+    return resume
 
 
 def requested() -> bool:
@@ -76,20 +94,33 @@ def requested() -> bool:
     return _flag.is_set()
 
 
-def should_stop(sync: bool = False) -> bool:
+def should_stop(sync: bool = False, sync_every: int = 8) -> bool:
     """True if ANY participating process has a pending preemption.
 
     ``sync=False`` (single-process, the default): a plain flag read.
     ``sync=True`` (multi-host): OR-reduce the flag across processes so
     every rank reaches the collective checkpoint save together even if
-    the scheduler's signals arrive skewed.  Costs one tiny all-gather;
-    call it at checkpoint-decision cadence (per step / per scan chunk),
-    not in inner loops."""
+    the scheduler's signals arrive skewed.
+
+    The OR-reduce is a BLOCKING cross-process all-gather + host fetch —
+    doing it every step would reintroduce exactly the per-step host
+    round trip the trainers accumulate losses on device to avoid.  So
+    the collective runs only every ``sync_every``-th call (the counter
+    advances identically on every rank — each rank makes the same
+    call sequence per step — so participation stays symmetric); calls
+    in between return False without reading even the local flag, since
+    acting on a local-only flag would desynchronize the ranks.  Worst-
+    case preemption latency is sync_every steps (a few seconds against
+    a 30 s+ grace window)."""
     if not sync:
         return requested()
     import jax
     if jax.process_count() == 1:
         return requested()
+    global _sync_calls
+    _sync_calls += 1
+    if _sync_calls % max(1, sync_every):
+        return False
     import numpy as np
     from jax.experimental import multihost_utils
 

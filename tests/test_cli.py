@@ -68,3 +68,10 @@ def test_mesh_shape_flag_parses_axis_pairs():
     cfg_pp = construct_training_parameters(["--mesh_shape", "data=2,pipe=4"])
     assert dict(cfg_pp.mesh_shape) == {"data": 2, "pipe": 4}
     assert construct_training_parameters([]).mesh_shape == ()
+
+
+def test_mesh_shape_flag_rejects_bad_input():
+    import pytest
+    for bad in ["data=0", "data=2,data=4", "data", "=4"]:
+        with pytest.raises(SystemExit):
+            construct_training_parameters(["--mesh_shape", bad])

@@ -60,10 +60,15 @@ def test_report_reference_accuracy_semantics():
 
 def test_report_degenerate_denominators_are_nan():
     # classifier never predicts positive -> precision undefined (NaN, not 0)
+    # but F1 follows sklearn: 0 when tp=0 with a non-empty denominator
     rep = binary_classification_report(np.array([1, 1, 0]),
                                        np.array([0.1, 0.2, 0.3]))
     assert np.isnan(rep["precision"]) and rep["recall"] == 0.0
-    assert np.isnan(rep["f1"])
+    assert rep["f1"] == 0.0
+    # a 0.5-sigmoid (dead head) scores NEGATIVE, like the reference's round
+    rep_half = binary_classification_report(np.array([1, 0]),
+                                            np.array([0.5, 0.5]))
+    assert (rep_half["tp"], rep_half["tn"]) == (0, 1)
     # empty input: everything NaN / zero counts
     rep = binary_classification_report(np.zeros(0), np.zeros(0))
     assert np.isnan(rep["accuracy"]) and np.isnan(rep["auc"])

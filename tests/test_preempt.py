@@ -216,3 +216,20 @@ def test_mi_preempt_then_resume_matches_uninterrupted(cfg, monkeypatch):
         np.asarray(jax.device_get(
             s_full.params["image_model"]["conv1"]["kernel"])),
         rtol=1e-6, atol=1e-7)
+
+
+def test_resolve_resume_contract(tmp_path):
+    """One helper owns the --resume_from 'auto' contract for every CLI."""
+    from mimm_tpu import preempt
+    from mimm_tpu.config import TrainingConfig
+
+    cfg = TrainingConfig().replace(save_directory=str(tmp_path))
+    assert preempt.resolve_resume(cfg, "mi_preempt.ckpt") is None
+    cfg_auto = cfg.replace(resume_from="auto")
+    assert preempt.resolve_resume(cfg_auto, "mi_preempt.ckpt") is None
+    ckpt = tmp_path / "mi_preempt.ckpt"
+    ckpt.write_bytes(b"x")
+    assert preempt.resolve_resume(cfg_auto, "mi_preempt.ckpt") == str(ckpt)
+    cfg_path = cfg.replace(resume_from="/some/explicit.ckpt")
+    assert preempt.resolve_resume(cfg_path, "mi_preempt.ckpt") == \
+        "/some/explicit.ckpt"
