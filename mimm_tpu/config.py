@@ -227,6 +227,15 @@ class TrainingConfig:
     # checkpoint layout — equivalence-tested against the plain forward
     # (tests/test_pipeline_parallel.py).  No reference counterpart.
     pipeline_microbatches: int = 0
+    # ZeRO-1 optimizer-state sharding over the 'data' mesh axis
+    # (parallel/mesh.py zero1_shardings): each chip stores only its 1/dp
+    # slice of the Adam/AdamW moment trees (~2 x params of f32 freed per
+    # chip at dp=8 for bert-base) and the bandwidth-bound moment update
+    # shards across the group, at the cost of an all-gather of the param
+    # update.  Same math — equivalence-tested (tests/test_sharding.py).
+    # Under tensor parallelism the text moments keep their TP layout.
+    # MI trainer only.  No reference counterpart (single-device).
+    zero1_optimizer_sharding: bool = False
     # Resume source for the MI/AE trainers: "" (fresh run), a path to a
     # native checkpoint (mi_epoch<N>.ckpt / ae_epoch<N>.ckpt /
     # *_preempt.ckpt — restores params + optimizer states + step and

@@ -218,21 +218,38 @@ def bert_tp_shardings(mesh: Mesh, text_params):
     return jax.tree_util.tree_map_with_path(spec_for, text_params)
 
 
-def shard_mi_state(mesh: Mesh, state):
+def shard_mi_state(mesh: Mesh, state, zero1: bool = False):
     """Place an MITrainState on the mesh: batch-independent trees
     replicate; when the mesh has a 'model' axis the critic goes
     tensor-parallel (``critic_tp_shardings``) and the BERT text tower
     Megatron-style (``bert_tp_shardings``).  Optimizer moment trees start
     replicated — XLA re-shards them to match their params on the first
-    update (they are donated, so no stale replicated copy survives)."""
-    if MODEL_AXIS not in mesh.axis_names:
-        return replicate(mesh, state)
-    # put_global (not device_put): on multi-host meshes the TP shardings
-    # span non-addressable devices and every process holds the full
-    # identically-initialized arrays (full=True)
+    update (they are donated, so no stale replicated copy survives).
+
+    ``zero1=True`` (cfg.zero1_optimizer_sharding): moment trees instead
+    start 'data'-sharded per :func:`zero1_shardings`, and the train step
+    re-constrains them so the layout is stable across steps.  Under
+    tensor parallelism the TEXT moments keep following their TP params
+    (mixing dim-0 data-sharding with TP column/row shardings would need
+    per-leaf composite specs — not worth it for the 2/4-way meshes here);
+    zero1 then applies to the image tower + critic moments only."""
     put = lambda tree, specs: put_global(
         tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                            is_leaf=lambda x: isinstance(x, P)), full=True)
+    opt_put = (lambda tree: put(tree, zero1_shardings(mesh, tree))) \
+        if zero1 else (lambda tree: replicate(mesh, tree))
+    if MODEL_AXIS not in mesh.axis_names:
+        return state._replace(
+            params=replicate(mesh, state.params),
+            batch_stats=replicate(mesh, state.batch_stats),
+            critic_params=replicate(mesh, state.critic_params),
+            img_opt=opt_put(state.img_opt),
+            mi_opt=opt_put(state.mi_opt),
+            txt_opt=opt_put(state.txt_opt),
+            step=replicate(mesh, state.step))
+    # put_global (not device_put): on multi-host meshes the TP shardings
+    # span non-addressable devices and every process holds the full
+    # identically-initialized arrays (full=True)
     params = dict(state.params)
     params["text_model"] = put(params["text_model"],
                                bert_tp_shardings(mesh, params["text_model"]))
@@ -242,10 +259,33 @@ def shard_mi_state(mesh: Mesh, state):
         batch_stats=replicate(mesh, state.batch_stats),
         critic_params=put(state.critic_params,
                           critic_tp_shardings(mesh, state.critic_params)),
-        img_opt=replicate(mesh, state.img_opt),
-        mi_opt=replicate(mesh, state.mi_opt),
+        img_opt=opt_put(state.img_opt),
+        mi_opt=opt_put(state.mi_opt),
         txt_opt=replicate(mesh, state.txt_opt),
         step=replicate(mesh, state.step))
+
+
+def zero1_shardings(mesh: Mesh, tree):
+    """ZeRO-1 style optimizer-state placement: shard the LEADING axis of
+    every moment-tree leaf over 'data' when divisible, replicate the rest
+    (scalars, odd shapes).  With these placements pinned on the optimizer
+    states (and re-constrained inside the train step), GSPMD partitions
+    the bandwidth-bound moment update across the data-parallel group and
+    each chip stores only its 1/dp slice of the Adam/AdamW moments —
+    ~2 x params of f32 freed per chip at dp=8 for bert-base — at the cost
+    of an all-gather of the (sharded) param update.  The classic ZeRO-1
+    recipe (Rajbhandari et al. 2020), expressed as shardings instead of
+    hand-written collectives.  No reference counterpart (single-device).
+    """
+    d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DATA_AXIS, 1)
+
+    def spec(x):
+        shape = getattr(x, "shape", None)
+        if d > 1 and shape and len(shape) >= 1 and shape[0] % d == 0:
+            return P(DATA_AXIS)
+        return P()
+
+    return jax.tree.map(spec, tree)
 
 
 def critic_tp_shardings(mesh: Mesh, critic_params) -> Tuple:

@@ -228,6 +228,27 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
     use_pp = mesh is not None and PIPE_AXIS in mesh.axis_names \
         and pipeline_stage_count(mesh) > 1
 
+    # ZeRO-1 (cfg.zero1_optimizer_sharding): moment trees live 'data'-
+    # sharded (parallel/mesh.py zero1_shardings).  The constraints below
+    # keep that layout stable through the donated step loop — without
+    # them GSPMD is free to emit replicated outputs, which would both
+    # undo the memory saving and recompile the step on the next call.
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _P
+    zero1 = getattr(cfg, "zero1_optimizer_sharding", False) \
+        and mesh is not None and mesh_lib.DATA_AXIS in mesh.axis_names
+    tp_mesh = mesh is not None and mesh_lib.MODEL_AXIS in mesh.axis_names
+
+    def pin_zero1(tree):
+        specs = mesh_lib.zero1_shardings(mesh, tree)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda x: isinstance(x, _P))
+        return jax.lax.with_sharding_constraint(tree, shardings)
+
+    def pin_replicated(tree):
+        return jax.lax.with_sharding_constraint(
+            tree, NamedSharding(mesh, _P()))
+
     def embed(joint_params, batch_stats, batch, dropout_rng):
         """One tower forward: (compact) batch -> (emb_img, emb_txt), new
         batch_stats.  decompact here so grad-cache chunks never widen more
@@ -287,6 +308,13 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
             "text_model": optax.apply_updates(state.params["text_model"], txt_u),
         }
         new_critic = optax.apply_updates(state.critic_params, mi_u)
+        if zero1:
+            img_opt, mi_opt = pin_zero1(img_opt), pin_zero1(mi_opt)
+            new_params["image_model"] = pin_replicated(new_params["image_model"])
+            if not tp_mesh:  # under tp, text/critic keep their TP layouts
+                txt_opt = pin_zero1(txt_opt)
+                new_params["text_model"] = pin_replicated(new_params["text_model"])
+                new_critic = pin_replicated(new_critic)
         return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
                             txt_opt, state.step + 1), loss
 
@@ -541,8 +569,11 @@ class MultiModalManager:
                         resume_from, int(state.step), start_epoch,
                         resume_start_batch)
         # replicate (pure DP) or, with a 'model' mesh axis, tensor-parallel
-        # critic + Megatron-style BERT placement (parallel/mesh.py)
-        state = mesh_lib.shard_mi_state(mesh, state)
+        # critic + Megatron-style BERT placement; zero1 = moments sharded
+        # over 'data' (parallel/mesh.py)
+        state = mesh_lib.shard_mi_state(
+            mesh, state,
+            zero1=getattr(cfg, "zero1_optimizer_sharding", False))
         data_shards = 1 if cfg.global_negatives else \
             int(dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1))
         train_step = make_mi_train_step(self.model, txs, cfg,

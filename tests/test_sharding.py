@@ -322,3 +322,50 @@ def test_critic_tensor_parallel_matches_replicated():
     got = jax.jit(pairwise_critic_scores)(sharded, ei, et)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_zero1_optimizer_sharding_matches_replicated():
+    """cfg.zero1_optimizer_sharding: moments live 'data'-sharded (each
+    chip stores 1/dp of the Adam/AdamW state) with bit-identical training
+    semantics — losses match the unsharded step across two steps, and the
+    moment leaves really are sharded after the step."""
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0)
+    cfg_z = cfg.replace(zero1_optimizer_sharding=True)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    step1 = make_mi_train_step(model, txs, cfg)
+    s1 = mesh_lib.replicate(
+        mesh1, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    b1 = mesh_lib.shard_batch(mesh1, batch)
+    s1, loss1 = step1(s1, b1)
+
+    mesh4 = mesh_lib.make_mesh({"data": 4})
+    step_z = make_mi_train_step(model, txs, cfg_z, mesh=mesh4)
+    s_z = mesh_lib.shard_mi_state(
+        mesh4, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)),
+        zero1=True)
+    b_z = mesh_lib.shard_batch(mesh4, batch)
+    s_z, loss_z = step_z(s_z, b_z)
+    np.testing.assert_allclose(float(loss_z), float(loss1),
+                               rtol=1e-5, atol=1e-6)
+
+    # the memory claim is real: a large moment leaf holds 1/4 per device
+    big = [x for x in jax.tree.leaves(s_z.txt_opt)
+           if hasattr(x, "shape") and x.ndim >= 1
+           and x.shape and x.shape[0] % 4 == 0 and x.size >= 64]
+    assert big, "no shardable moment leaves found"
+    leaf = max(big, key=lambda x: x.size)
+    shard_elems = int(np.prod(leaf.addressable_shards[0].data.shape))
+    assert shard_elems == leaf.size // 4, \
+        f"moment leaf not data-sharded: {leaf.sharding}"
+
+    _, loss1b = step1(s1, b1)
+    _, loss_zb = step_z(s_z, b_z)
+    np.testing.assert_allclose(float(loss_zb), float(loss1b),
+                               rtol=5e-4, atol=5e-5)
