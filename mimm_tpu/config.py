@@ -236,6 +236,14 @@ class TrainingConfig:
     # Under tensor parallelism the text moments keep their TP layout.
     # MI trainer only.  No reference counterpart (single-device).
     zero1_optimizer_sharding: bool = False
+    # FSDP/ZeRO-3-style PARAMETER sharding over 'data' (same placement
+    # rule as zero1): params rest 1/dp per chip; GSPMD all-gathers each
+    # tensor at its forward use and computes the update on the shard.
+    # Combine with zero1_optimizer_sharding for the full ZeRO memory
+    # ladder.  Same math — equivalence-tested (tests/test_sharding.py).
+    # Under tensor parallelism the text tower/critic keep TP layouts.
+    # MI trainer only.  No reference counterpart (single-device).
+    fsdp_parameter_sharding: bool = False
     # Resume source for the MI/AE trainers: "" (fresh run), a path to a
     # native checkpoint (mi_epoch<N>.ckpt / ae_epoch<N>.ckpt /
     # *_preempt.ckpt — restores params + optimizer states + step and

@@ -218,7 +218,8 @@ def bert_tp_shardings(mesh: Mesh, text_params):
     return jax.tree_util.tree_map_with_path(spec_for, text_params)
 
 
-def shard_mi_state(mesh: Mesh, state, zero1: bool = False):
+def shard_mi_state(mesh: Mesh, state, zero1: bool = False,
+                   fsdp: bool = False):
     """Place an MITrainState on the mesh: batch-independent trees
     replicate; when the mesh has a 'model' axis the critic goes
     tensor-parallel (``critic_tp_shardings``) and the BERT text tower
@@ -232,17 +233,24 @@ def shard_mi_state(mesh: Mesh, state, zero1: bool = False):
     tensor parallelism the TEXT moments keep following their TP params
     (mixing dim-0 data-sharding with TP column/row shardings would need
     per-leaf composite specs — not worth it for the 2/4-way meshes here);
-    zero1 then applies to the image tower + critic moments only."""
+    zero1 then applies to the image tower + critic moments only.
+
+    ``fsdp=True`` (cfg.fsdp_parameter_sharding): PARAMETERS also rest
+    'data'-sharded (same placement rule) — FSDP/ZeRO-3 as shardings.
+    Under tensor parallelism the text tower + critic keep their TP
+    layouts; fsdp then applies to the image tower params only."""
     put = lambda tree, specs: put_global(
         tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                            is_leaf=lambda x: isinstance(x, P)), full=True)
     opt_put = (lambda tree: put(tree, zero1_shardings(mesh, tree))) \
         if zero1 else (lambda tree: replicate(mesh, tree))
+    param_put = (lambda tree: put(tree, zero1_shardings(mesh, tree))) \
+        if fsdp else (lambda tree: replicate(mesh, tree))
     if MODEL_AXIS not in mesh.axis_names:
         return state._replace(
-            params=replicate(mesh, state.params),
+            params=param_put(state.params),
             batch_stats=replicate(mesh, state.batch_stats),
-            critic_params=replicate(mesh, state.critic_params),
+            critic_params=param_put(state.critic_params),
             img_opt=opt_put(state.img_opt),
             mi_opt=opt_put(state.mi_opt),
             txt_opt=opt_put(state.txt_opt),
@@ -253,7 +261,7 @@ def shard_mi_state(mesh: Mesh, state, zero1: bool = False):
     params = dict(state.params)
     params["text_model"] = put(params["text_model"],
                                bert_tp_shardings(mesh, params["text_model"]))
-    params["image_model"] = replicate(mesh, params["image_model"])
+    params["image_model"] = param_put(params["image_model"])
     return state._replace(
         params=params,
         batch_stats=replicate(mesh, state.batch_stats),
@@ -276,6 +284,13 @@ def zero1_shardings(mesh: Mesh, tree):
     of an all-gather of the (sharded) param update.  The classic ZeRO-1
     recipe (Rajbhandari et al. 2020), expressed as shardings instead of
     hand-written collectives.  No reference counterpart (single-device).
+
+    The same placement rule doubles as the FSDP/ZeRO-3 PARAMETER layout
+    (cfg.fsdp_parameter_sharding): params rest 'data'-sharded, GSPMD
+    all-gathers each tensor where the forward consumes it (freeing the
+    gathered copy after its uses — tensor-granularity lifetime, like
+    FSDP's gather-per-module), and the param update is computed on the
+    shard.  At-rest param memory drops to 1/dp per chip.
     """
     d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DATA_AXIS, 1)
 

@@ -237,6 +237,11 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
     from jax.sharding import PartitionSpec as _P
     zero1 = getattr(cfg, "zero1_optimizer_sharding", False) \
         and mesh is not None and mesh_lib.DATA_AXIS in mesh.axis_names
+    # FSDP/ZeRO-3 (cfg.fsdp_parameter_sharding): params rest 'data'-
+    # sharded too; GSPMD all-gathers each tensor at its forward use and
+    # computes the update on the shard.
+    fsdp = getattr(cfg, "fsdp_parameter_sharding", False) \
+        and mesh is not None and mesh_lib.DATA_AXIS in mesh.axis_names
     tp_mesh = mesh is not None and mesh_lib.MODEL_AXIS in mesh.axis_names
 
     def pin_zero1(tree):
@@ -310,11 +315,17 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         new_critic = optax.apply_updates(state.critic_params, mi_u)
         if zero1:
             img_opt, mi_opt = pin_zero1(img_opt), pin_zero1(mi_opt)
-            new_params["image_model"] = pin_replicated(new_params["image_model"])
-            if not tp_mesh:  # under tp, text/critic keep their TP layouts
+            if not tp_mesh:  # under tp, text moments follow their TP params
                 txt_opt = pin_zero1(txt_opt)
-                new_params["text_model"] = pin_replicated(new_params["text_model"])
-                new_critic = pin_replicated(new_critic)
+        if zero1 or fsdp:
+            # output params must land back on their at-rest layout
+            # (fsdp: 'data'-sharded; plain zero1: replicated) or the
+            # donated loop's layout drifts and the step recompiles
+            pin_params = pin_zero1 if fsdp else pin_replicated
+            new_params["image_model"] = pin_params(new_params["image_model"])
+            if not tp_mesh:  # under tp, text/critic keep their TP layouts
+                new_params["text_model"] = pin_params(new_params["text_model"])
+                new_critic = pin_params(new_critic)
         return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
                             txt_opt, state.step + 1), loss
 
@@ -573,7 +584,8 @@ class MultiModalManager:
         # over 'data' (parallel/mesh.py)
         state = mesh_lib.shard_mi_state(
             mesh, state,
-            zero1=getattr(cfg, "zero1_optimizer_sharding", False))
+            zero1=getattr(cfg, "zero1_optimizer_sharding", False),
+            fsdp=getattr(cfg, "fsdp_parameter_sharding", False))
         data_shards = 1 if cfg.global_negatives else \
             int(dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1))
         train_step = make_mi_train_step(self.model, txs, cfg,

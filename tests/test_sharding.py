@@ -369,3 +369,51 @@ def test_zero1_optimizer_sharding_matches_replicated():
     _, loss_zb = step_z(s_z, b_z)
     np.testing.assert_allclose(float(loss_zb), float(loss1b),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_fsdp_parameter_sharding_matches_replicated():
+    """cfg.fsdp_parameter_sharding (+zero1): params AND moments rest
+    'data'-sharded (the full ZeRO ladder); training semantics unchanged
+    vs the unsharded step, and the at-rest param leaves really hold 1/4
+    per device."""
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0)
+    cfg_f = cfg.replace(zero1_optimizer_sharding=True,
+                        fsdp_parameter_sharding=True)
+    model = build_joint_model(cfg, TINY_BERT)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    step1 = make_mi_train_step(model, txs, cfg)
+    s1 = mesh_lib.replicate(
+        mesh1, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    b1 = mesh_lib.shard_batch(mesh1, batch)
+    s1, loss1 = step1(s1, b1)
+
+    mesh4 = mesh_lib.make_mesh({"data": 4})
+    step_f = make_mi_train_step(model, txs, cfg_f, mesh=mesh4)
+    s_f = mesh_lib.shard_mi_state(
+        mesh4, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)),
+        zero1=True, fsdp=True)
+    b_f = mesh_lib.shard_batch(mesh4, batch)
+    s_f, loss_f = step_f(s_f, b_f)
+    np.testing.assert_allclose(float(loss_f), float(loss1),
+                               rtol=1e-5, atol=1e-6)
+
+    # at-rest params are really sharded after the step
+    big = [x for x in jax.tree.leaves(s_f.params["text_model"])
+           if hasattr(x, "shape") and x.ndim >= 1
+           and x.shape and x.shape[0] % 4 == 0 and x.size >= 64]
+    assert big, "no shardable param leaves found"
+    leaf = max(big, key=lambda x: x.size)
+    shard_elems = int(np.prod(leaf.addressable_shards[0].data.shape))
+    assert shard_elems == leaf.size // 4, \
+        f"param leaf not data-sharded at rest: {leaf.sharding}"
+
+    _, loss1b = step1(s1, b1)
+    _, loss_fb = step_f(s_f, b_f)
+    np.testing.assert_allclose(float(loss_fb), float(loss1b),
+                               rtol=5e-4, atol=5e-5)
