@@ -11,15 +11,16 @@ What pp buys in this build — and what it doesn't: the pipeline shards
 COMPUTE and backward ACTIVATIONS depth-wise (each stage materializes
 activations only for its num_layers/S local layers; the in-flight
 stacked parameter copy is also 'pipe'-sharded, 1/S per chip).  Parameter
-and optimizer-state memory is NOT reduced yet: the train state keeps the
-plain replicated layout (shard_mi_state has no pp-aware placement), so
-each chip still holds a full unstacked BERT replica + AdamW moments — a
-stacked-resident parameter/optimizer layout is the follow-up that would
-complete the memory story.  For bert-base at CXR report lengths a single
-v5e chip fits the whole model anyway; pp here is the execution schedule
-(and its equivalence proof) for towers whose per-layer activations are
-the binding constraint.  Expert parallelism remains out of scope: this
-model family has no MoE structure to shard.
+and optimizer-state RESIDENT memory is pp-agnostic — the train state
+keeps the plain unstacked layout — so reduce it with the ZeRO knobs
+instead: ``cfg.zero1_optimizer_sharding`` (moments 1/dp per chip) and
+``cfg.fsdp_parameter_sharding`` (at-rest params 1/dp per chip), both of
+which compose with pp over the 'data' axis (the driver dryrun runs
+pp + fsdp + zero1 together).  For bert-base at CXR report lengths a
+single v5e chip fits the whole model anyway; pp here is the execution
+schedule (and its equivalence proof) for towers whose per-layer
+activations are the binding constraint.  Expert parallelism remains out
+of scope: this model family has no MoE structure to shard.
 
 Design (the classic JAX pipelining recipe, cf. jax shard_map docs and the
 scaling-book's pipelining chapter):
