@@ -238,7 +238,16 @@ def shard_mi_state(mesh: Mesh, state, zero1: bool = False,
     ``fsdp=True`` (cfg.fsdp_parameter_sharding): PARAMETERS also rest
     'data'-sharded (same placement rule) — FSDP/ZeRO-3 as shardings.
     Under tensor parallelism the text tower + critic keep their TP
-    layouts; fsdp then applies to the image tower params only."""
+    layouts; fsdp then applies to the image tower params only.
+
+    PIPELINE-parallel RESIDENT layout: when the state was restacked via
+    ``parallel.pipeline.stack_resident_text_state`` and the mesh has a
+    'pipe' axis, the text params AND the text moment trees rest
+    'pipe'-sharded on their stacked-layer axis (1/S per chip,
+    ``pp_resident_shardings``); zero1/fsdp then apply to the image tower
+    + critic only (mirroring the tp rule)."""
+    from mimm_tpu.parallel.pipeline import (PIPE_AXIS, is_stacked_text,
+                                            pp_resident_shardings)
     put = lambda tree, specs: put_global(
         tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                            is_leaf=lambda x: isinstance(x, P)), full=True)
@@ -246,6 +255,21 @@ def shard_mi_state(mesh: Mesh, state, zero1: bool = False,
         if zero1 else (lambda tree: replicate(mesh, tree))
     param_put = (lambda tree: put(tree, zero1_shardings(mesh, tree))) \
         if fsdp else (lambda tree: replicate(mesh, tree))
+    pp_resident = PIPE_AXIS in mesh.axis_names and \
+        is_stacked_text(state.params["text_model"])
+    if pp_resident:
+        pp_put = lambda tree: put(tree, pp_resident_shardings(mesh, tree))
+        params = dict(state.params)
+        params["text_model"] = pp_put(params["text_model"])
+        params["image_model"] = param_put(params["image_model"])
+        return state._replace(
+            params=params,
+            batch_stats=replicate(mesh, state.batch_stats),
+            critic_params=param_put(state.critic_params),
+            img_opt=opt_put(state.img_opt),
+            mi_opt=opt_put(state.mi_opt),
+            txt_opt=pp_put(state.txt_opt),
+            step=replicate(mesh, state.step))
     if MODEL_AXIS not in mesh.axis_names:
         return state._replace(
             params=param_put(state.params),

@@ -7,20 +7,24 @@ this completes the mesh-parallelism family alongside dp (batch over
 'data'), tp (Megatron shardings over 'model') and sp (sequence-sharded
 activations): pp splits the text tower's DEPTH across stages.
 
-What pp buys in this build — and what it doesn't: the pipeline shards
-COMPUTE and backward ACTIVATIONS depth-wise (each stage materializes
-activations only for its num_layers/S local layers; the in-flight
-stacked parameter copy is also 'pipe'-sharded, 1/S per chip).  Parameter
-and optimizer-state RESIDENT memory is pp-agnostic — the train state
-keeps the plain unstacked layout — so reduce it with the ZeRO knobs
-instead: ``cfg.zero1_optimizer_sharding`` (moments 1/dp per chip) and
-``cfg.fsdp_parameter_sharding`` (at-rest params 1/dp per chip), both of
-which compose with pp over the 'data' axis (the driver dryrun runs
-pp + fsdp + zero1 together).  For bert-base at CXR report lengths a
-single v5e chip fits the whole model anyway; pp here is the execution
-schedule (and its equivalence proof) for towers whose per-layer
-activations are the binding constraint.  Expert parallelism remains out
-of scope: this model family has no MoE structure to shard.
+What pp buys in this build: the pipeline shards COMPUTE and backward
+ACTIVATIONS depth-wise (each stage materializes activations only for its
+num_layers/S local layers), and — when the Manager/dryrun restack the
+train state via :func:`stack_resident_text_state` — the RESIDENT text
+parameters and AdamW moment trees live 'pipe'-sharded too (1/S per
+chip), with no per-step re-stacking copy.  Checkpoints ALWAYS keep the
+plain unstacked layout (the save path unstacks, resume restacks), so
+nothing about the on-disk contract changes.  The ZeRO knobs compose
+over the 'data' axis for the remaining replicated trees:
+``cfg.zero1_optimizer_sharding`` (image/critic moments 1/dp per chip)
+and ``cfg.fsdp_parameter_sharding`` (image at-rest params 1/dp) — the
+driver dryrun runs pp + fsdp + zero1 together.  For bert-base at CXR
+report lengths a single v5e chip fits the whole model anyway; pp here
+is the execution schedule (and its equivalence proof) for towers whose
+per-layer activations are the binding constraint — and, unlike the
+dp-axis ZeRO knobs, the resident stacking still shards state on a
+PURE-pipe mesh (dp=1).  Expert parallelism remains out of scope: this
+model family has no MoE structure to shard.
 
 Design (the classic JAX pipelining recipe, cf. jax shard_map docs and the
 scaling-book's pipelining chapter):
@@ -74,6 +78,93 @@ def stack_layer_params(bert_params, num_layers: int):
     HBM copy that GSPMD shards over 'pipe' at the constraint below."""
     layers = [bert_params[f"layer{i}"] for i in range(num_layers)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def is_stacked_text(text_params) -> bool:
+    """True when a text_model param/moment tree carries the RESIDENT
+    stacked-layer layout (a 'layers' node instead of layer0..layerN-1).
+    Purely structural, so it also works on jit tracers."""
+    try:
+        return "layers" in text_params["bert"]
+    except (TypeError, KeyError):
+        return False
+
+
+def _is_text_tree(node) -> bool:
+    """Structural marker for a text_model-shaped tree: the param tree and
+    every AdamW moment tree share the {'bert':…, 'classifier':…} top
+    level (models/bert.py TextBert / train/optim.py adamw_hf mu/nu)."""
+    return isinstance(node, dict) and set(node.keys()) == {"bert", "classifier"}
+
+
+def stack_text_tree(text_tree, num_layers: int):
+    """Plain {'layer0':…, 'layerN-1':…} text tree -> resident stacked
+    layout: the per-layer subtrees merge into ONE 'layers' node whose
+    leaves carry a leading (num_layers,) axis (shardable over 'pipe').
+    Works on params and on AdamW moment trees (identical structure)."""
+    if is_stacked_text(text_tree):
+        return text_tree
+    b = dict(text_tree["bert"])
+    layers = [b.pop(f"layer{i}") for i in range(num_layers)]
+    b["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {**text_tree, "bert": b}
+
+
+def unstack_text_tree(text_tree, num_layers: int):
+    """Inverse of :func:`stack_text_tree` — back to the plain layout the
+    checkpoints/.bin exporters use."""
+    if not is_stacked_text(text_tree):
+        return text_tree
+    b = dict(text_tree["bert"])
+    stacked = b.pop("layers")
+    for i in range(num_layers):
+        b[f"layer{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return {**text_tree, "bert": b}
+
+
+def map_text_trees(tree, f):
+    """Apply ``f`` to every text_model-shaped subtree inside ``tree``
+    (optimizer states nest the mu/nu moment trees at arbitrary depth —
+    adamw_hf state, or freeze()'s multi_transform wrapper around it);
+    all other nodes (step counts, image/critic trees) pass through."""
+    return jax.tree.map(lambda n: f(n) if _is_text_tree(n) else n, tree,
+                        is_leaf=_is_text_tree)
+
+
+def stack_resident_text_state(state, num_layers: int):
+    """MITrainState -> the pp RESIDENT layout: text params and the text
+    optimizer's moment trees carry stacked layers, so `shard_mi_state`
+    can rest them 1/S per chip over 'pipe' and the step skips the
+    per-step stacking copy.  Checkpoint writers call
+    :func:`unstack_resident_text_state` first, so the on-disk layout
+    never changes."""
+    f = lambda t: stack_text_tree(t, num_layers)
+    params = dict(state.params)
+    params["text_model"] = f(params["text_model"])
+    return state._replace(params=params,
+                          txt_opt=map_text_trees(state.txt_opt, f))
+
+
+def unstack_resident_text_state(state, num_layers: int):
+    """Inverse of :func:`stack_resident_text_state` (checkpoint layout)."""
+    f = lambda t: unstack_text_tree(t, num_layers)
+    params = dict(state.params)
+    params["text_model"] = f(params["text_model"])
+    return state._replace(params=params,
+                          txt_opt=map_text_trees(state.txt_opt, f))
+
+
+def pp_resident_shardings(mesh, tree):
+    """PartitionSpec tree for a resident-stacked text params/moment tree:
+    leaves under a 'layers' node shard their leading (num_layers,) stack
+    axis over 'pipe'; everything else (embeddings, pooler, classifier,
+    scalar counts) replicates."""
+    def spec_for(path, leaf):
+        names = [str(getattr(k, "key", getattr(k, "name", k))) for k in path]
+        if "layers" in names and getattr(leaf, "ndim", 0) >= 1:
+            return P(PIPE_AXIS)
+        return P()
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
 def pipelined_encoder(bert_cfg: BertConfig, mesh, stacked_params, hidden,
@@ -214,7 +305,12 @@ def pipelined_textbert_apply(bert_cfg: BertConfig, text_params, mesh,
             rngs={"dropout": jax.random.fold_in(dropout_rng, 2 * n_layers)})
     attn_bias = (1.0 - attention_mask[:, None, None, :].astype(dtype)) * -10000.0
 
-    stacked = stack_layer_params(p, n_layers)
+    if is_stacked_text(text_params):
+        # resident stacked layout (stack_resident_text_state): the params
+        # already live 'pipe'-sharded — no per-step stacking copy
+        stacked = p["layers"]
+    else:
+        stacked = stack_layer_params(p, n_layers)
     stacked = jax.lax.with_sharding_constraint(
         stacked, NamedSharding(mesh, P(PIPE_AXIS)))
     hidden = pipelined_encoder(bert_cfg, mesh, stacked, hidden, attn_bias, M,

@@ -224,7 +224,9 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         scores = score_fn(critic_params, emb_img, emb_txt)
         return bound_fn(scores, sids)
 
-    from mimm_tpu.parallel.pipeline import PIPE_AXIS, pipeline_stage_count
+    from mimm_tpu.parallel.pipeline import (PIPE_AXIS, is_stacked_text,
+                                            pipeline_stage_count,
+                                            pp_resident_shardings)
     use_pp = mesh is not None and PIPE_AXIS in mesh.axis_names \
         and pipeline_stage_count(mesh) > 1
 
@@ -253,6 +255,14 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
     def pin_replicated(tree):
         return jax.lax.with_sharding_constraint(
             tree, NamedSharding(mesh, _P()))
+
+    def pin_pp(tree):
+        """Keep the pp RESIDENT text layout (stacked layers 'pipe'-sharded,
+        parallel/pipeline.py) stable through the donated step loop."""
+        specs = pp_resident_shardings(mesh, tree)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda x: isinstance(x, _P))
+        return jax.lax.with_sharding_constraint(tree, shardings)
 
     def embed(joint_params, batch_stats, batch, dropout_rng):
         """One tower forward: (compact) batch -> (emb_img, emb_txt), new
@@ -313,9 +323,17 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
             "text_model": optax.apply_updates(state.params["text_model"], txt_u),
         }
         new_critic = optax.apply_updates(state.critic_params, mi_u)
+        pp_resident = use_pp and is_stacked_text(state.params["text_model"])
+        if pp_resident:
+            # resident stacked text layout (parallel/pipeline.py): params
+            # and moments rest 'pipe'-sharded; pin them so the donated
+            # loop never drifts back to replicated
+            new_params["text_model"] = pin_pp(new_params["text_model"])
+            txt_opt = pin_pp(txt_opt)
         if zero1:
             img_opt, mi_opt = pin_zero1(img_opt), pin_zero1(mi_opt)
-            if not tp_mesh:  # under tp, text moments follow their TP params
+            if not tp_mesh and not pp_resident:
+                # under tp/pp-resident, text moments follow their own layout
                 txt_opt = pin_zero1(txt_opt)
         if zero1 or fsdp:
             # output params must land back on their at-rest layout
@@ -324,7 +342,8 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
             pin_params = pin_zero1 if fsdp else pin_replicated
             new_params["image_model"] = pin_params(new_params["image_model"])
             if not tp_mesh:  # under tp, text/critic keep their TP layouts
-                new_params["text_model"] = pin_params(new_params["text_model"])
+                if not pp_resident:
+                    new_params["text_model"] = pin_params(new_params["text_model"])
                 new_critic = pin_params(new_critic)
         return MITrainState(new_params, new_bs, new_critic, img_opt, mi_opt,
                             txt_opt, state.step + 1), loss
@@ -433,7 +452,17 @@ def save_mi_checkpoints(save_dir: str, state: MITrainState, epoch: int,
                         bert_config: BertConfig,
                         export_torch_bins: bool = True,
                         ckpt_format: str = "pickle") -> str:
-    """Native tree + reference .bin naming contracts (model.py:557-595)."""
+    """Native tree + reference .bin naming contracts (model.py:557-595).
+
+    Checkpoints ALWAYS use the plain unstacked text layout: a pp-resident
+    state (parallel/pipeline.py stack_resident_text_state) is unstacked
+    here, so on-disk trees are layout-independent and any mesh/pp config
+    can resume from any checkpoint."""
+    from mimm_tpu.parallel.pipeline import (is_stacked_text,
+                                            unstack_resident_text_state)
+    if is_stacked_text(state.params["text_model"]):
+        state = unstack_resident_text_state(state,
+                                            bert_config.num_hidden_layers)
     os.makedirs(save_dir, exist_ok=True)
     path = ckpt.save_checkpoint(os.path.join(save_dir, f"mi_epoch{epoch}.ckpt"),
                                 state._asdict(), format=ckpt_format)
@@ -579,6 +608,15 @@ class MultiModalManager:
             logger.info("Resumed from %s at step %d (epoch %d, batch %d)",
                         resume_from, int(state.step), start_epoch,
                         resume_start_batch)
+        from mimm_tpu.parallel.pipeline import (pipeline_stage_count,
+                                                stack_resident_text_state)
+        if pipeline_stage_count(mesh) > 1:
+            # pp RESIDENT layout: text params + AdamW moments restack onto
+            # a 'pipe'-shardable (num_layers,) axis — 1/S per chip at
+            # rest, no per-step stacking copy.  Checkpoints stay plain
+            # (save_mi_checkpoints unstacks), so resume works both ways.
+            state = stack_resident_text_state(
+                state, self.bert_config.num_hidden_layers)
         # replicate (pure DP) or, with a 'model' mesh axis, tensor-parallel
         # critic + Megatron-style BERT placement; zero1 = moments sharded
         # over 'data' (parallel/mesh.py)
@@ -625,9 +663,17 @@ class MultiModalManager:
                     # SIGTERM (pod eviction/maintenance): save the FULL
                     # state tree and stop.  resume_from this path picks
                     # the run back up mid-epoch (mimm_tpu.preempt).
+                    # Preempt checkpoints use the plain text layout too
+                    # (resume restacks when the new run is pp).
+                    from mimm_tpu.parallel.pipeline import (
+                        is_stacked_text, unstack_resident_text_state)
+                    save_state = state
+                    if is_stacked_text(state.params["text_model"]):
+                        save_state = unstack_resident_text_state(
+                            state, self.bert_config.num_hidden_layers)
                     path = ckpt.save_checkpoint(
                         os.path.join(cfg.save_directory, "mi_preempt.ckpt"),
-                        state._asdict(),
+                        save_state._asdict(),
                         format=getattr(cfg, "checkpoint_format", "pickle"))
                     logger.warning(
                         "preemption requested — saved %s at step %d and "

@@ -139,6 +139,125 @@ def test_pp_full_mi_step_matches_unsharded():
                                rtol=5e-4, atol=5e-5)
 
 
+def _tiny_mi_setup(seed=0):
+    import dataclasses
+    bert = dataclasses.replace(BERT4, num_hidden_layers=2,
+                               hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    cfg = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=seed)
+    model = build_joint_model(cfg, bert)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+    ids, masks, segs = _text_inputs(8, 16)
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(1).random((8, 128, 128, 1), np.float32)),
+        "txt_ids": ids, "txt_masks": masks, "txt_segments": segs,
+        "study_id": jnp.asarray(np.arange(8, dtype=np.int64)),
+    }
+    return bert, cfg, model, txs, batch
+
+
+def test_resident_stack_roundtrip():
+    """stack_resident_text_state -> unstack_resident_text_state is the
+    identity on the params AND the text optimizer moment trees."""
+    from mimm_tpu.parallel.pipeline import (is_stacked_text,
+                                            stack_resident_text_state,
+                                            unstack_resident_text_state)
+    _, cfg, model, txs, _ = _tiny_mi_setup()
+    state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    stacked = stack_resident_text_state(state, 2)
+    assert is_stacked_text(stacked.params["text_model"])
+    assert "layer0" not in stacked.params["text_model"]["bert"]
+    # moments restacked with identical structure to the params
+    mu = stacked.txt_opt.inner_states["train"].inner_state[0].mu \
+        if hasattr(stacked.txt_opt, "inner_states") else stacked.txt_opt.mu
+    assert is_stacked_text(mu)
+    back = unstack_resident_text_state(stacked, 2)
+    flat_a = jax.tree_util.tree_leaves_with_path(state._asdict())
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(back._asdict())}
+    assert len(flat_a) == len(flat_b)
+    for path, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat_b[jax.tree_util.keystr(path)]),
+                                      err_msg=jax.tree_util.keystr(path))
+
+
+def test_pp_resident_state_matches_unsharded():
+    """The pp RESIDENT layout (text params + AdamW moments stacked and
+    'pipe'-sharded at rest — what the Manager runs) computes the same
+    losses as the plain unsharded step, rests 1/S per chip, and keeps its
+    layout stable through the donated step loop."""
+    from jax.sharding import PartitionSpec as P
+    from mimm_tpu.parallel.pipeline import (PIPE_AXIS, is_stacked_text,
+                                            stack_resident_text_state)
+    bert, cfg, model, txs, batch = _tiny_mi_setup()
+
+    mesh1 = mesh_lib.make_mesh({"data": 1})
+    step1 = make_mi_train_step(model, txs, cfg)
+    s1 = mesh_lib.replicate(
+        mesh1, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+    b1 = mesh_lib.shard_batch(mesh1, batch)
+    s1, loss1 = step1(s1, b1)
+
+    mesh_pp = mesh_lib.make_mesh({"data": 4, "pipe": 2})
+    step_pp = make_mi_train_step(model, txs, cfg, mesh=mesh_pp)
+    s2 = mesh_lib.shard_mi_state(
+        mesh_pp, stack_resident_text_state(
+            create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)), 2))
+    # at rest: stacked text params shard their layer axis 1/S per chip
+    qk = s2.params["text_model"]["bert"]["layers"]["attention"]["query"]["kernel"]
+    assert qk.shape[0] == 2
+    assert qk.addressable_shards[0].data.shape[0] == 1
+    b2 = mesh_lib.shard_batch(mesh_pp, batch)
+    s2, loss2 = step_pp(s2, b2)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5, atol=1e-6)
+
+    # layout stability through the donated loop: params AND moments still
+    # stacked + pipe-sharded after the step
+    assert is_stacked_text(s2.params["text_model"])
+    qk = s2.params["text_model"]["bert"]["layers"]["attention"]["query"]["kernel"]
+    assert qk.addressable_shards[0].data.shape[0] == 1
+    spec = qk.sharding.spec
+    assert spec[0] == PIPE_AXIS, spec
+    mu = s2.txt_opt.inner_states["train"].inner_state[0].mu \
+        if hasattr(s2.txt_opt, "inner_states") else s2.txt_opt.mu
+    mu_qk = mu["bert"]["layers"]["attention"]["query"]["kernel"]
+    assert mu_qk.addressable_shards[0].data.shape[0] == 1
+
+    # second step through the updated (resident) state still agrees
+    _, loss1b = step1(s1, b1)
+    _, loss2b = step_pp(s2, b2)
+    np.testing.assert_allclose(float(loss2b), float(loss1b),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_pp_resident_checkpoint_stays_unstacked(tmp_path):
+    """save_mi_checkpoints from a resident-stacked state writes the PLAIN
+    text layout (layer0..layerN-1) — on-disk trees are layout-independent
+    and a non-pp run can resume from a pp run's checkpoint."""
+    from mimm_tpu import checkpoint as ckpt
+    from mimm_tpu.parallel.pipeline import stack_resident_text_state
+    from mimm_tpu.train.mi import save_mi_checkpoints
+    bert, cfg, model, txs, _ = _tiny_mi_setup()
+    state = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    mesh_pp = mesh_lib.make_mesh({"data": 4, "pipe": 2})
+    s = mesh_lib.shard_mi_state(mesh_pp, stack_resident_text_state(state, 2))
+    path = save_mi_checkpoints(str(tmp_path), s, 1, bert,
+                               export_torch_bins=False)
+    restored = ckpt.load_checkpoint(path)
+    b = restored["params"]["text_model"]["bert"]
+    assert "layers" not in b and "layer0" in b and "layer1" in b
+    # and the values round-trip exactly vs the original unstacked state
+    np.testing.assert_array_equal(
+        np.asarray(b["layer1"]["attention"]["query"]["kernel"]),
+        np.asarray(
+            state.params["text_model"]["bert"]["layer1"]["attention"]["query"]["kernel"]))
+
+
 def test_pp_validates_divisibility():
     model, params = _init_text_params()
     ids, masks, segs = _text_inputs()

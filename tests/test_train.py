@@ -132,6 +132,46 @@ def test_mi_end_to_end(cfg):
     assert "fc1" not in vj["params"]  # joint import drops the fc head
 
 
+def test_mi_manager_pp_resident_train_and_resume(cfg):
+    """Manager-driven pipeline-parallel training: with a 'pipe' mesh axis
+    the Manager rests the text state in the stacked 'pipe'-sharded layout
+    (parallel/pipeline.py stack_resident_text_state), writes PLAIN-layout
+    checkpoints, and restacks on resume."""
+    from mimm_tpu import checkpoint as ckpt
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.parallel.pipeline import is_stacked_text
+    from mimm_tpu.train.mi import MultiModalManager
+
+    cfg = cfg.replace(img_size=128, max_seq_length=16, num_train_epochs=2,
+                      mi_estimator="dv",
+                      mesh_shape=(("data", 2), ("pipe", 2)))
+    tiny_bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=32, num_classes=1)
+    mgr = MultiModalManager(cfg, bert_config=tiny_bert,
+                            load_pretrained_bert=False)
+    ds = FakePairedDataset(n=8, img=128, seq=16)
+    state = mgr.train(token_features=None, dataset=ds, num_epochs=1)
+    assert int(state.step) == 2
+    # in-memory state runs the resident stacked layout...
+    assert is_stacked_text(state.params["text_model"])
+    # ...but the on-disk tree is plain (any mesh can resume from it)
+    d = cfg.save_directory
+    tree = ckpt.load_checkpoint(os.path.join(d, "mi_epoch1.ckpt"))
+    bert_tree = tree["params"]["text_model"]["bert"]
+    assert "layers" not in bert_tree and "layer0" in bert_tree
+    # .bin exports work from the resident state too
+    assert os.path.exists(os.path.join(d, "pytorch_MI_text_model.bin"))
+
+    # resume (restack-on-resume): one more epoch from the plain checkpoint
+    mgr2 = MultiModalManager(cfg, bert_config=tiny_bert,
+                             load_pretrained_bert=False)
+    state2 = mgr2.train(token_features=None, dataset=ds, num_epochs=2,
+                        resume_from=os.path.join(d, "mi_epoch1.ckpt"))
+    assert int(state2.step) == 4
+    assert is_stacked_text(state2.params["text_model"])
+
+
 def test_mi_loss_decreases_with_training(cfg):
     """A few MI steps on fixed embeddings-like data must push DV loss down."""
     from mimm_tpu.models.bert import BertConfig
