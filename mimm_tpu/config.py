@@ -112,6 +112,12 @@ class TrainingConfig:
     # CLI: --mesh_shape data=4,model=2 (axes: 'data' dp; 'model' tp+sp;
     # 'pipe' pipeline parallelism — parallel/mesh.py, parallel/pipeline.py).
     mesh_shape: tuple = ()
+    # MULTI-SLICE pods: per-axis factor that spans SLICES over DCN (axes
+    # omitted = 1).  E.g. --mesh_shape data=8 --dcn_mesh_shape data=2 on
+    # two v5e-8 slices = a global data=16 mesh whose single DCN hop sits
+    # on the outermost stride (mesh_utils.create_hybrid_device_mesh, see
+    # parallel/mesh.py make_mesh).  Keep 'model'/'pipe' ICI-only.
+    dcn_mesh_shape: tuple = ()
     # Text-tower LR (the reference hard-codes 2e-5 at main_utils.py:167).
     bert_lr: float = 2e-5
     # Warmup fraction of total steps (reference main_utils.py:171: 0.1).
@@ -286,8 +292,8 @@ def _parse_mesh_shape(s: str) -> tuple:
 
 def _add_fields(parser: argparse.ArgumentParser, cfg) -> None:
     for f in dataclasses.fields(cfg):
-        if f.name == "mesh_shape":
-            parser.add_argument("--mesh_shape", type=_parse_mesh_shape,
+        if f.name in ("mesh_shape", "dcn_mesh_shape"):
+            parser.add_argument(f"--{f.name}", type=_parse_mesh_shape,
                                 default=getattr(cfg, f.name))
             continue
         arg_type = type(getattr(cfg, f.name))

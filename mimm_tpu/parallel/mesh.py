@@ -73,7 +73,8 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
-              devices=None) -> Mesh:
+              devices=None,
+              dcn_mesh_shape: Optional[Dict[str, int]] = None) -> Mesh:
     """Build a mesh.  Default: all local devices on the 'data' axis.
     ``mesh_shape`` e.g. {'data': 4, 'model': 2}.
 
@@ -82,12 +83,57 @@ def make_mesh(mesh_shape: Optional[Dict[str, int]] = None,
     ``mesh_utils.create_device_mesh`` assigns devices to mesh coordinates
     from the physical coords (ring/torus aware); we use it whenever the
     requested mesh covers all devices, and fall back to a plain reshape
-    for partial meshes or host/virtual platforms it cannot handle."""
+    for partial meshes or host/virtual platforms it cannot handle.
+
+    MULTI-SLICE pods (slices joined by DCN, not ICI): pass
+    ``dcn_mesh_shape`` — the per-axis factor that spans SLICES (e.g.
+    ``mesh_shape={'data': 8, 'model': 1}, dcn_mesh_shape={'data': 2}``
+    on 2 v5e-8 slices = a global {'data': 16} mesh whose data axis
+    crosses the DCN boundary exactly once).  Implemented with
+    ``mesh_utils.create_hybrid_device_mesh`` so the DCN hop lands on the
+    OUTERMOST stride of the axis: per-step collectives decompose into
+    intra-slice ICI phases plus one inter-slice DCN phase, instead of
+    every hop riding DCN (the scaling-book recipe: gradient all-reduce
+    = ICI reduce-scatter -> DCN all-reduce on 1/slice of the bytes ->
+    ICI all-gather).  Put ONLY the data axis on DCN — 'model'/'pipe'
+    collectives are latency-bound and must stay inside a slice.  Axes
+    omitted from ``dcn_mesh_shape`` default to 1 (ICI-only)."""
     devices = devices if devices is not None else jax.devices()
+    if dcn_mesh_shape and not mesh_shape:
+        raise ValueError("dcn_mesh_shape requires an explicit mesh_shape "
+                         "(the per-slice ICI factors)")
     if not mesh_shape:
         return Mesh(np.asarray(devices), (DATA_AXIS,))
     names = tuple(mesh_shape.keys())
     dims = tuple(mesh_shape.values())
+    if dcn_mesh_shape:
+        unknown = set(dcn_mesh_shape) - set(names)
+        if unknown:
+            raise ValueError(f"dcn_mesh_shape axes {sorted(unknown)} not in "
+                             f"mesh_shape {names}")
+        dcn_dims = tuple(dcn_mesh_shape.get(a, 1) for a in names)
+        total = tuple(i * d for i, d in zip(dims, dcn_dims))
+        n = int(np.prod(total))
+        if n != len(devices):
+            raise ValueError(
+                f"hybrid mesh {mesh_shape} x DCN {dcn_mesh_shape} needs "
+                f"{n} devices, have {len(devices)}")
+        try:
+            from jax.experimental import mesh_utils
+            return Mesh(mesh_utils.create_hybrid_device_mesh(
+                dims, dcn_dims, devices=devices), names)
+        except Exception as e:
+            # no slice structure (single slice / virtual platform): the
+            # hybrid layout degenerates to an ordinary mesh of the total
+            # shape.  Warned because on a REAL multi-slice pod this
+            # ordering would put ICI-sized strides on DCN.
+            logger.warning(
+                "create_hybrid_device_mesh failed (%s); building a plain "
+                "%s mesh — fine on one slice, but on a multi-slice pod "
+                "DCN hops would land mid-axis", e, dict(zip(names, total)))
+            dims = total
+        n = int(np.prod(dims))
+        return Mesh(np.asarray(devices[:n]).reshape(dims), names)
     n = int(np.prod(dims))
     if n > len(devices):
         raise ValueError(f"mesh {mesh_shape} needs {n} devices, have {len(devices)}")

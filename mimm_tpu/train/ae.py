@@ -129,7 +129,9 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
     writer = MetricWriter(cfg.save_directory, name="ae",
                           log_filename="training_AE.log",
                           tensorboard=getattr(cfg, "tensorboard", False))
-    mesh = mesh or mesh_lib.make_mesh(dict(cfg.mesh_shape) or None)
+    mesh = mesh or mesh_lib.make_mesh(
+        dict(cfg.mesh_shape) or None,
+        dcn_mesh_shape=dict(getattr(cfg, "dcn_mesh_shape", ())) or None)
     num_epochs = num_epochs or cfg.num_train_epochs
 
     if dataset is None:

@@ -545,7 +545,9 @@ class MultiModalManager:
         writer = MetricWriter(cfg.save_directory, name="mi",
                               log_filename="training_MI.log",
                               tensorboard=getattr(cfg, "tensorboard", False))
-        mesh = mesh or mesh_lib.make_mesh(dict(cfg.mesh_shape) or None)
+        mesh = mesh or mesh_lib.make_mesh(
+            dict(cfg.mesh_shape) or None,
+            dcn_mesh_shape=dict(getattr(cfg, "dcn_mesh_shape", ())) or None)
         num_epochs = num_epochs or cfg.num_train_epochs
         if getattr(cfg, "sequence_parallel", False) and \
                 mesh_lib.seq_sharding(mesh) is not None:

@@ -417,3 +417,50 @@ def test_fsdp_parameter_sharding_matches_replicated():
     _, loss_fb = step_f(s_f, b_f)
     np.testing.assert_allclose(float(loss_fb), float(loss1b),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_hybrid_dcn_mesh_validation_and_fallback():
+    """Multi-slice mesh support (make_mesh dcn_mesh_shape): strict input
+    validation, and on platforms without slice structure (this CPU mesh)
+    a graceful fallback to a plain mesh of the TOTAL shape."""
+    with pytest.raises(ValueError, match="requires an explicit mesh_shape"):
+        mesh_lib.make_mesh(None, dcn_mesh_shape={"data": 2})
+    with pytest.raises(ValueError, match="not in mesh_shape"):
+        mesh_lib.make_mesh({"data": 4}, dcn_mesh_shape={"bogus": 2})
+    with pytest.raises(ValueError, match="needs 32 devices"):
+        mesh_lib.make_mesh({"data": 16}, dcn_mesh_shape={"data": 2})
+    # 4 ICI x 2 DCN on 8 virtual CPU devices: no slice_index attributes,
+    # so the hybrid construction falls back to a plain data=8 mesh
+    mesh = mesh_lib.make_mesh({"data": 4, "model": 1},
+                              dcn_mesh_shape={"data": 2})
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == \
+        {"data": 8, "model": 1}
+
+
+def test_hybrid_dcn_mesh_uses_mesh_utils(monkeypatch):
+    """When the platform HAS slice structure, make_mesh must delegate to
+    mesh_utils.create_hybrid_device_mesh with the per-axis (ICI, DCN)
+    factorization so the DCN hop lands on the outermost stride."""
+    from jax.experimental import mesh_utils
+    calls = {}
+
+    def fake_hybrid(mesh_shape, dcn_mesh_shape, devices=None, **kw):
+        calls["ici"] = tuple(mesh_shape)
+        calls["dcn"] = tuple(dcn_mesh_shape)
+        return np.asarray(devices).reshape(
+            tuple(i * d for i, d in zip(mesh_shape, dcn_mesh_shape)))
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    mesh = mesh_lib.make_mesh({"data": 2, "model": 2},
+                              dcn_mesh_shape={"data": 2})
+    assert calls == {"ici": (2, 2), "dcn": (2, 1)}
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == \
+        {"data": 4, "model": 2}
+
+
+def test_dcn_mesh_shape_cli_flag():
+    from mimm_tpu.config import construct_training_parameters
+    cfg = construct_training_parameters(
+        ["--mesh_shape", "data=8", "--dcn_mesh_shape", "data=2"])
+    assert cfg.mesh_shape == (("data", 8),)
+    assert cfg.dcn_mesh_shape == (("data", 2),)
