@@ -113,6 +113,32 @@ def child(rank: int) -> None:
     assert np.isfinite(loss2)
     print(f"MH_LOSS2 rank={rank} loss={loss2:.9f}", flush=True)
 
+    # lane 3: data x pipe mesh — the GPipe schedule's ppermute chain and
+    # the pp RESIDENT stacked text state (params + moments 1/S per chip,
+    # parallel/pipeline.py) under REAL multi-process sharding: stage 0
+    # lives on process 0's devices and stage 1 on process 1's, so every
+    # microbatch handoff crosses the process boundary
+    import dataclasses
+
+    from mimm_tpu.parallel.pipeline import (is_stacked_text,
+                                            stack_resident_text_state)
+    bert3 = dataclasses.replace(bert, num_hidden_layers=2)
+    model3 = ImageReportModel(bert_config=bert3, output_channels=1,
+                              dtype=jnp.float32)
+    mesh3 = mesh_lib.make_mesh({"data": 2, "pipe": 2})
+    state3 = mesh_lib.shard_mi_state(
+        mesh3, stack_resident_text_state(
+            create_mi_state(model3, cfg, txs, jax.random.PRNGKey(0)), 2))
+    qk = state3.params["text_model"]["bert"]["layers"]["attention"]["query"]["kernel"]
+    assert qk.addressable_shards[0].data.shape[0] == 1, "not pipe-sharded"
+    step3 = make_mi_train_step(model3, txs, cfg, mesh=mesh3)
+    batch3 = mesh_lib.put_global(local, mesh_lib.batch_sharding(mesh3))
+    state3, loss3 = step3(state3, batch3)
+    loss3 = float(loss3)
+    assert np.isfinite(loss3)
+    assert is_stacked_text(state3.params["text_model"])
+    print(f"MH_LOSS3 rank={rank} loss={loss3:.9f}", flush=True)
+
     # collective orbax save (every process writes its shards) + sharded
     # restore directly onto the mesh via a ShapeDtypeStruct target
     path = os.path.join(os.environ["MIMM_MH_DIR"], "mi_epoch1.ckpt")
@@ -167,11 +193,14 @@ def main() -> None:
         if p.returncode != 0:
             print(out)
             raise SystemExit(f"rank {rank} failed rc={p.returncode}")
-    losses, losses2 = [], []
+    losses, losses2, losses3 = [], [], []
     for rank, out in enumerate(outs):
         assert f"MH_OK rank={rank}" in out, out
         for line in out.splitlines():
-            if line.startswith("MH_LOSS2"):
+            if line.startswith("MH_LOSS3"):
+                losses3.append(line.split("loss=")[1])
+                print(line)
+            elif line.startswith("MH_LOSS2"):
                 losses2.append(line.split("loss=")[1])
                 print(line)
             elif line.startswith("MH_LOSS"):
@@ -181,8 +210,11 @@ def main() -> None:
         f"ranks disagree on the dp loss: {losses}"
     assert len(losses2) == N_PROC and len(set(losses2)) == 1, \
         f"ranks disagree on the tp+sp+grad-cache loss: {losses2}"
+    assert len(losses3) == N_PROC and len(set(losses3)) == 1, \
+        f"ranks disagree on the pp loss: {losses3}"
     print("MULTIHOST SMOKE OK — 2 processes, 4-device mesh, identical losses "
-          "(dp lane + tp/sp/grad-cache lane), collective orbax save/restore")
+          "(dp lane + tp/sp/grad-cache lane + pp resident lane), collective "
+          "orbax save/restore")
 
 
 if __name__ == "__main__":
