@@ -239,8 +239,9 @@ class TrainingConfig:
     # chip at dp=8 for bert-base) and the bandwidth-bound moment update
     # shards across the group, at the cost of an all-gather of the param
     # update.  Same math — equivalence-tested (tests/test_sharding.py).
-    # Under tensor parallelism the text moments keep their TP layout.
-    # MI trainer only.  No reference counterpart (single-device).
+    # Under tensor parallelism the text moments keep their TP layout;
+    # under pipeline parallelism they keep the pp resident layout.
+    # Honored by the MI and AE trainers.  No reference counterpart.
     zero1_optimizer_sharding: bool = False
     # FSDP/ZeRO-3-style PARAMETER sharding over 'data' (same placement
     # rule as zero1): params rest 1/dp per chip; GSPMD all-gathers each
@@ -248,7 +249,7 @@ class TrainingConfig:
     # Combine with zero1_optimizer_sharding for the full ZeRO memory
     # ladder.  Same math — equivalence-tested (tests/test_sharding.py).
     # Under tensor parallelism the text tower/critic keep TP layouts.
-    # MI trainer only.  No reference counterpart (single-device).
+    # Honored by the MI and AE trainers.  No reference counterpart.
     fsdp_parameter_sharding: bool = False
     # Resume source for the MI/AE trainers: "" (fresh run), a path to a
     # native checkpoint (mi_epoch<N>.ckpt / ae_epoch<N>.ckpt /

@@ -343,6 +343,24 @@ def shard_mi_state(mesh: Mesh, state, zero1: bool = False,
         step=replicate(mesh, state.step))
 
 
+def shard_ae_state(mesh: Mesh, state, zero1: bool = False,
+                   fsdp: bool = False):
+    """Place an AETrainState on the mesh (train/ae.py): replicated by
+    default; ``zero1`` rests the Adam moment tree 'data'-sharded and
+    ``fsdp`` the params too (same :func:`zero1_shardings` placement rule
+    and semantics as the MI trainer's ZeRO ladder)."""
+    put = lambda tree: put_global(
+        tree, jax.tree.map(lambda s: NamedSharding(mesh, s),
+                           zero1_shardings(mesh, tree),
+                           is_leaf=lambda x: isinstance(x, P)), full=True)
+    return state._replace(
+        params=put(state.params) if fsdp else replicate(mesh, state.params),
+        batch_stats=replicate(mesh, state.batch_stats),
+        opt_state=put(state.opt_state) if zero1
+        else replicate(mesh, state.opt_state),
+        step=replicate(mesh, state.step))
+
+
 def zero1_shardings(mesh: Mesh, tree):
     """ZeRO-1 style optimizer-state placement: shard the LEADING axis of
     every moment-tree leaf over 'data' when divisible, replicate the rest

@@ -62,7 +62,8 @@ def create_ae_state(model: ResNetAE, cfg, rng) -> AETrainState:
                         tx.init(variables["params"]), jnp.zeros([], jnp.int32))
 
 
-def make_ae_train_step(model: ResNetAE, tx, chunks: int = 1):
+def make_ae_train_step(model: ResNetAE, tx, chunks: int = 1, mesh=None,
+                       zero1: bool = False, fsdp: bool = False):
     """``chunks`` > 1 (cfg.grad_cache_chunks): chunked gradient
     accumulation — the MSE loss decomposes per sample, so a single
     ``lax.scan`` over equal chunks (value_and_grad per chunk, averaged)
@@ -71,7 +72,29 @@ def make_ae_train_step(model: ResNetAE, tx, chunks: int = 1):
     two-pass GradCache because its loss couples the whole batch).  Each
     chunk has DP-replica BatchNorm semantics (stats from its own chunk;
     running stats are the cross-chunk mean).  Exactness vs an independent
-    oracle: tests/test_grad_cache.py."""
+    oracle: tests/test_grad_cache.py.
+
+    ``zero1``/``fsdp`` (cfg.zero1_optimizer_sharding /
+    cfg.fsdp_parameter_sharding, with ``mesh``): same ZeRO ladder as the
+    MI trainer — moments and/or at-rest params 'data'-sharded
+    (parallel/mesh.py shard_ae_state), with output constraints keeping
+    the donated loop's layout stable."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _P
+    zero1 = zero1 and mesh is not None and \
+        mesh_lib.DATA_AXIS in mesh.axis_names
+    fsdp = fsdp and mesh is not None and \
+        mesh_lib.DATA_AXIS in mesh.axis_names
+
+    def pin_zero1(tree):
+        specs = mesh_lib.zero1_shardings(mesh, tree)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda x: isinstance(x, _P))
+        return jax.lax.with_sharding_constraint(tree, shardings)
+
+    def pin_replicated(tree):
+        return jax.lax.with_sharding_constraint(
+            tree, NamedSharding(mesh, _P()))
     def loss_fn(params, batch_stats, images):
         # compact-transfer batches arrive as integer crops; the identical
         # f32 cast + max-normalize runs on device, per chunk
@@ -110,6 +133,10 @@ def make_ae_train_step(model: ResNetAE, tx, chunks: int = 1):
                 state.params, state.batch_stats, images)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if zero1:
+            new_opt = pin_zero1(new_opt)
+        if zero1 or fsdp:
+            new_params = (pin_zero1 if fsdp else pin_replicated)(new_params)
         return AETrainState(new_params, new_bs, new_opt, state.step + 1), loss
 
     return train_step
@@ -166,10 +193,13 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
         logger.info("Resumed from %s at step %d (epoch %d, batch %d)",
                     resume_from, int(state.step), start_epoch,
                     resume_start_batch)
-    state = mesh_lib.replicate(mesh, state)
+    zero1 = getattr(cfg, "zero1_optimizer_sharding", False)
+    fsdp = getattr(cfg, "fsdp_parameter_sharding", False)
+    state = mesh_lib.shard_ae_state(mesh, state, zero1=zero1, fsdp=fsdp)
     tx = adam_torch(cfg.init_lr)
     train_step = make_ae_train_step(
-        model, tx, chunks=max(1, int(getattr(cfg, "grad_cache_chunks", 1))))
+        model, tx, chunks=max(1, int(getattr(cfg, "grad_cache_chunks", 1))),
+        mesh=mesh, zero1=zero1, fsdp=fsdp)
 
     training_loss = []
     preempt_sync = jax.process_count() > 1
