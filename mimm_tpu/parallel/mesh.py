@@ -291,56 +291,58 @@ def shard_mi_state(mesh: Mesh, state, zero1: bool = False,
     'pipe' axis, the text params AND the text moment trees rest
     'pipe'-sharded on their stacked-layer axis (1/S per chip,
     ``pp_resident_shardings``); zero1/fsdp then apply to the image tower
-    + critic only (mirroring the tp rule)."""
+    + critic only (mirroring the tp rule).
+
+    The placement RULES live in :func:`mi_state_specs` (also used by
+    ``tools/mem_report.py`` for device-free memory accounting); this
+    function just materializes them.  put_global (not device_put): on
+    multi-host meshes TP/pp shardings span non-addressable devices and
+    every process holds the full identically-initialized arrays
+    (full=True)."""
+    specs = mi_state_specs(mesh, state, zero1=zero1, fsdp=fsdp)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return type(state)(**put_global(state._asdict(), shardings._asdict(),
+                                    full=True))
+
+
+def mi_state_specs(mesh: Mesh, state, zero1: bool = False,
+                   fsdp: bool = False):
+    """The MITrainState placement rules as a PartitionSpec tree (same
+    structure as the state).  See :func:`shard_mi_state` for semantics.
+    Needs only ``mesh.axis_names`` / ``mesh.devices.shape`` — no devices
+    are touched, so it also works with a lightweight mesh stand-in for
+    offline memory accounting (tools/mem_report.py)."""
     from mimm_tpu.parallel.pipeline import (PIPE_AXIS, is_stacked_text,
                                             pp_resident_shardings)
-    put = lambda tree, specs: put_global(
-        tree, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                           is_leaf=lambda x: isinstance(x, P)), full=True)
-    opt_put = (lambda tree: put(tree, zero1_shardings(mesh, tree))) \
-        if zero1 else (lambda tree: replicate(mesh, tree))
-    param_put = (lambda tree: put(tree, zero1_shardings(mesh, tree))) \
-        if fsdp else (lambda tree: replicate(mesh, tree))
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    z = lambda tree: zero1_shardings(mesh, tree)
+    opt_specs = z if zero1 else rep
+    param_specs = z if fsdp else rep
+    tp = MODEL_AXIS in mesh.axis_names
     pp_resident = PIPE_AXIS in mesh.axis_names and \
         is_stacked_text(state.params["text_model"])
     if pp_resident:
-        pp_put = lambda tree: put(tree, pp_resident_shardings(mesh, tree))
-        params = dict(state.params)
-        params["text_model"] = pp_put(params["text_model"])
-        params["image_model"] = param_put(params["image_model"])
-        return state._replace(
-            params=params,
-            batch_stats=replicate(mesh, state.batch_stats),
-            critic_params=param_put(state.critic_params),
-            img_opt=opt_put(state.img_opt),
-            mi_opt=opt_put(state.mi_opt),
-            txt_opt=pp_put(state.txt_opt),
-            step=replicate(mesh, state.step))
-    if MODEL_AXIS not in mesh.axis_names:
-        return state._replace(
-            params=param_put(state.params),
-            batch_stats=replicate(mesh, state.batch_stats),
-            critic_params=param_put(state.critic_params),
-            img_opt=opt_put(state.img_opt),
-            mi_opt=opt_put(state.mi_opt),
-            txt_opt=opt_put(state.txt_opt),
-            step=replicate(mesh, state.step))
-    # put_global (not device_put): on multi-host meshes the TP shardings
-    # span non-addressable devices and every process holds the full
-    # identically-initialized arrays (full=True)
-    params = dict(state.params)
-    params["text_model"] = put(params["text_model"],
-                               bert_tp_shardings(mesh, params["text_model"]))
-    params["image_model"] = param_put(params["image_model"])
-    return state._replace(
-        params=params,
-        batch_stats=replicate(mesh, state.batch_stats),
-        critic_params=put(state.critic_params,
-                          critic_tp_shardings(mesh, state.critic_params)),
-        img_opt=opt_put(state.img_opt),
-        mi_opt=opt_put(state.mi_opt),
-        txt_opt=replicate(mesh, state.txt_opt),
-        step=replicate(mesh, state.step))
+        text_p = pp_resident_shardings(mesh, state.params["text_model"])
+        txt_opt = pp_resident_shardings(mesh, state.txt_opt)
+        critic = param_specs(state.critic_params)
+    elif tp:
+        text_p = bert_tp_shardings(mesh, state.params["text_model"])
+        txt_opt = rep(state.txt_opt)  # follows its TP params on 1st update
+        critic = critic_tp_shardings(mesh, state.critic_params)
+    else:
+        text_p = param_specs(state.params["text_model"])
+        txt_opt = opt_specs(state.txt_opt)
+        critic = param_specs(state.critic_params)
+    return type(state)(
+        params={"image_model": param_specs(state.params["image_model"]),
+                "text_model": text_p},
+        batch_stats=rep(state.batch_stats),
+        critic_params=critic,
+        img_opt=opt_specs(state.img_opt),
+        mi_opt=opt_specs(state.mi_opt),
+        txt_opt=txt_opt,
+        step=P())
 
 
 def shard_ae_state(mesh: Mesh, state, zero1: bool = False,
@@ -362,9 +364,15 @@ def shard_ae_state(mesh: Mesh, state, zero1: bool = False,
 
 
 def zero1_shardings(mesh: Mesh, tree):
-    """ZeRO-1 style optimizer-state placement: shard the LEADING axis of
-    every moment-tree leaf over 'data' when divisible, replicate the rest
-    (scalars, odd shapes).  With these placements pinned on the optimizer
+    """ZeRO-1 style optimizer-state placement: shard the LARGEST
+    'data'-divisible axis of every moment-tree leaf (ties break toward
+    the leading axis), replicate the rest (scalars, odd shapes).  Matmul
+    kernels shard their leading (in-features) axis exactly as before;
+    picking the largest divisible axis additionally covers conv kernels,
+    whose leading axes are spatial (3, 3, c_in, c_out) and never
+    divisible — with a leading-axis-only rule the whole image tower
+    stayed replicated (found via tools/mem_report.py accounting).
+    With these placements pinned on the optimizer
     states (and re-constrained inside the train step), GSPMD partitions
     the bandwidth-bound moment update across the data-parallel group and
     each chip stores only its 1/dp slice of the Adam/AdamW moments —
@@ -384,8 +392,13 @@ def zero1_shardings(mesh: Mesh, tree):
 
     def spec(x):
         shape = getattr(x, "shape", None)
-        if d > 1 and shape and len(shape) >= 1 and shape[0] % d == 0:
-            return P(DATA_AXIS)
+        if d > 1 and shape:
+            best = None
+            for i, s in enumerate(shape):
+                if s % d == 0 and (best is None or s > shape[best]):
+                    best = i
+            if best is not None:
+                return P(*([None] * best + [DATA_AXIS]))
         return P()
 
     return jax.tree.map(spec, tree)
