@@ -11,6 +11,12 @@ Endpoints (all JSON unless an npy body is sent):
 
 * ``GET  /healthz``        -> {"status": "ok", "batch_size": N, ...}
 * ``POST /embed_images``   -> {"embeddings": [[...768 floats...], ...]}
+* ``POST /embed_texts``    -> {"embeddings": ...}  (needs a text model:
+  --bert_pretrained_dir, or a config.json already in save_directory).
+  Body: {"texts": ["findings ...", ...]} for raw reports (server-side
+  WordPiece, needs vocab.txt in --bert_pretrained_dir), or pre-tokenized
+  {"input_ids": [[...]], "attention_mask": [[...]],
+  "token_type_ids": [[...]]} (token_type_ids optional)
 * ``POST /classify``       -> {"probabilities": [p, ...]}  (needs --disease)
 
 Request body formats for the POST endpoints:
@@ -40,9 +46,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
+def _read_body(handler: BaseHTTPRequestHandler) -> bytes:
     length = int(handler.headers.get("Content-Length", 0))
-    body = handler.rfile.read(length)
+    return handler.rfile.read(length)
+
+
+def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
+    body = _read_body(handler)
     ctype = handler.headers.get("Content-Type", "application/json")
     if "x-npy" in ctype:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
@@ -55,6 +65,17 @@ def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
     if arr.ndim != 4:
         raise ValueError(f"expected (N,H,W[,1]) images, got {arr.shape}")
     return arr
+
+
+def _embed_texts_from_request(session, handler: BaseHTTPRequestHandler):
+    payload = json.loads(_read_body(handler).decode())
+    if "texts" in payload:
+        return session.embed_reports(list(payload["texts"]))
+    ids = np.asarray(payload["input_ids"], np.int32)
+    masks = np.asarray(payload["attention_mask"], np.int32)
+    segs = np.asarray(payload.get("token_type_ids",
+                                  np.zeros_like(ids).tolist()), np.int32)
+    return session.embed_texts(ids, masks, segs)
 
 
 def make_handler(session):
@@ -76,6 +97,7 @@ def make_handler(session):
                     "status": "ok",
                     "batch_size": session.batch_size,
                     "classifier": session.classifier is not None,
+                    "text_model": session.text_model is not None,
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
@@ -84,6 +106,9 @@ def make_handler(session):
             try:
                 if self.path == "/embed_images":
                     emb = session.embed_images(_parse_images(self))
+                    self._send(200, {"embeddings": emb.tolist()})
+                elif self.path == "/embed_texts":
+                    emb = _embed_texts_from_request(session, self)
                     self._send(200, {"embeddings": emb.tolist()})
                 elif self.path == "/classify":
                     probs = session.classify(_parse_images(self))
@@ -103,17 +128,42 @@ def build_server(save_directory: str, port: int = 8321,
                  classifier_layers=None,
                  host: str = "127.0.0.1",
                  compute_dtype: str = "float32",
-                 weight_dtype: str = "float32") -> ThreadingHTTPServer:
+                 weight_dtype: str = "float32",
+                 bert_pretrained_dir: str = None,
+                 max_seq_length: int = 320) -> ThreadingHTTPServer:
     from mimm_tpu.serve import InferenceSession
 
     if disease and classifier_layers is None:
         from mimm_tpu.config import DEFAULT_CLASSIFIER_LAYERS
         classifier_layers = list(DEFAULT_CLASSIFIER_LAYERS)
+    # text serving: the bert config is read from --bert_pretrained_dir,
+    # falling back to the config.json the MI trainer writes next to the
+    # joint checkpoint (reference save_pretrained parity, model.py:584);
+    # raw-text requests additionally need vocab.txt in bert_pretrained_dir
+    bert_config = None
+    vocab_dir = None
+    for d, name in ((bert_pretrained_dir, "bert_config.json"),
+                    (bert_pretrained_dir, "config.json"),
+                    (save_directory, "config.json")):
+        if d and os.path.exists(os.path.join(d, name)):
+            from mimm_tpu.models.bert import BertConfig
+            bert_config = BertConfig.from_json_file(os.path.join(d, name))
+            break
+    if not os.path.exists(os.path.join(save_directory,
+                                       "pytorch_MI_text_model.bin")):
+        bert_config = None  # image-only checkpoint dir (e.g. pod runs
+        # export .bins offline); /healthz reports text_model: false
+    if bert_pretrained_dir and \
+            os.path.exists(os.path.join(bert_pretrained_dir, "vocab.txt")):
+        vocab_dir = bert_pretrained_dir
     session = InferenceSession(save_directory, batch_size=batch_size,
+                               bert_config=bert_config,
                                classifier_layers=classifier_layers,
                                disease=disease,
                                compute_dtype=compute_dtype,
-                               weight_dtype=weight_dtype)
+                               weight_dtype=weight_dtype,
+                               vocab_dir=vocab_dir,
+                               max_seq_length=max_seq_length)
     return ThreadingHTTPServer((host, port), make_handler(session))
 
 
@@ -130,12 +180,18 @@ def main():
                    choices=["float32", "int8"],
                    help="int8 = weight-only PTQ (see mimm_tpu/serve.py "
                         "for the quality tests + measurement caveat)")
+    p.add_argument("--bert_pretrained_dir", default=None,
+                   help="bert config + vocab.txt source for /embed_texts "
+                        "(config falls back to save_directory/config.json)")
+    p.add_argument("--max_seq_length", type=int, default=320)
     args = p.parse_args()
 
     server = build_server(args.save_directory, port=args.port,
                           batch_size=args.batch_size, disease=args.disease,
                           host=args.host, compute_dtype=args.compute_dtype,
-                          weight_dtype=args.weight_dtype)
+                          weight_dtype=args.weight_dtype,
+                          bert_pretrained_dir=args.bert_pretrained_dir,
+                          max_seq_length=args.max_seq_length)
     print(json.dumps({"serving": f"http://{args.host}:{server.server_port}",
                       "save_directory": args.save_directory}))
     server.serve_forever()

@@ -8,6 +8,8 @@ fixed-batch padding (static shapes — one compile per configured batch):
 
 * ``embed_images(images) -> (N, 768)``   — frozen MI image encoder
 * ``embed_texts(ids, masks, segments)``  — frozen MI text encoder
+* ``embed_reports(texts) -> (N, 768)``   — raw report strings: server-side
+  WordPiece featurization (pass ``vocab_dir``) + the text encoder
 * ``classify(images) -> (N,)``           — encoder + per-disease Basic_MLP
 
 Padding semantics: inputs are padded up to ``batch_size`` and results
@@ -92,10 +94,19 @@ class InferenceSession:
                  disease: Optional[str] = None,
                  classifier_epoch: Optional[int] = None,
                  compute_dtype: str = "float32",
-                 weight_dtype: str = "float32"):
+                 weight_dtype: str = "float32",
+                 vocab_dir: Optional[str] = None,
+                 max_seq_length: int = 320):
         if weight_dtype not in ("float32", "int8"):
             raise ValueError(f"unsupported weight_dtype: {weight_dtype}")
         self.batch_size = batch_size
+        self.max_seq_length = max_seq_length
+        # raw-text entry point (embed_reports): WordPiece vocab from
+        # vocab_dir (the bert_pretrained_dir layout — vocab.txt inside)
+        self._tokenizer = None
+        if vocab_dir is not None:
+            from mimm_tpu.data.tokenizer import WordPieceTokenizer
+            self._tokenizer = WordPieceTokenizer.from_pretrained(vocab_dir)
         cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._quant = weight_dtype == "int8"
         self.image_model = ResNet256_6_2_1(output_channels=output_channels,
@@ -191,6 +202,27 @@ class InferenceSession:
         if self.text_model is None:
             raise RuntimeError("no text model loaded (pass bert_config)")
         return self._run_batched(self._embed_texts, ids, masks, segments)
+
+    def embed_reports(self, texts: List[str]) -> np.ndarray:
+        """Raw findings/impression strings -> (N, 768) embeddings: the
+        training featurization ([CLS] + WordPiece + [SEP], truncate/pad
+        to ``max_seq_length`` — data/features.py contract) applied
+        server-side, then the frozen text encoder."""
+        if self._tokenizer is None:
+            raise RuntimeError("no tokenizer loaded (pass vocab_dir)")
+        if self.text_model is None:
+            raise RuntimeError("no text model loaded (pass bert_config)")
+        L = self.max_seq_length
+        cls_id, = self._tokenizer.convert_tokens_to_ids(["[CLS]"])
+        sep_id, = self._tokenizer.convert_tokens_to_ids(["[SEP]"])
+        ids = np.zeros((len(texts), L), np.int32)
+        masks = np.zeros((len(texts), L), np.int32)
+        for i, text in enumerate(texts):
+            toks = self._tokenizer.tokenize(text)[:L - 2]
+            row = [cls_id] + self._tokenizer.convert_tokens_to_ids(toks) + [sep_id]
+            ids[i, :len(row)] = row
+            masks[i, :len(row)] = 1
+        return self.embed_texts(ids, masks, np.zeros_like(ids))
 
     def classify(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, 1) -> (N,) disease probabilities."""

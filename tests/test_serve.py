@@ -133,3 +133,47 @@ def test_serve_int8_bert_quality(tmp_path):
     cos = np.sum(e32 * e8, -1) / (np.linalg.norm(e32, axis=-1)
                                   * np.linalg.norm(e8, axis=-1))
     assert cos.min() > 0.99, cos
+
+
+def test_serve_embed_reports_raw_text(tmp_path):
+    """embed_reports: raw report strings tokenize server-side with the
+    training featurization ([CLS] + WordPiece + [SEP], pad to
+    max_seq_length) and must equal the pre-tokenized embed_texts path."""
+    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+    from mimm_tpu.models.bert import BertConfig, TextBert
+
+    _make_artifacts(tmp_path)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=32, num_classes=1)
+    tb = TextBert(cfg)
+    v = tb.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    sd = ckpt.bert_state_dict_from_variables(v, cfg.num_hidden_layers)
+    ckpt.save_state_dict_bin(str(tmp_path / "pytorch_MI_text_model.bin"), sd)
+    from tests.test_data import VOCAB
+    (tmp_path / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+
+    sess = InferenceSession(str(tmp_path), batch_size=4, bert_config=cfg,
+                            vocab_dir=str(tmp_path), max_seq_length=16)
+    texts = ["The lungs are clear.", "No acute cardiopulmonary process",
+             "Pleural effusion is unchanged"]
+    emb = sess.embed_reports(texts)
+    assert emb.shape == (3, 32) and np.isfinite(emb).all()
+
+    # equals the pre-tokenized path through the same tokenizer
+    tok = WordPieceTokenizer.from_pretrained(str(tmp_path))
+    ids = np.zeros((3, 16), np.int32)
+    masks = np.zeros((3, 16), np.int32)
+    for i, t in enumerate(texts):
+        row = tok.convert_tokens_to_ids(
+            ["[CLS]"] + tok.tokenize(t)[:14] + ["[SEP]"])
+        ids[i, :len(row)] = row
+        masks[i, :len(row)] = 1
+    np.testing.assert_array_equal(
+        emb, sess.embed_texts(ids, masks, np.zeros_like(ids)))
+
+    # no vocab -> clear error
+    import pytest
+    no_vocab = InferenceSession(str(tmp_path), batch_size=4, bert_config=cfg)
+    with pytest.raises(RuntimeError, match="no tokenizer"):
+        no_vocab.embed_reports(["text"])

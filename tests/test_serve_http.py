@@ -68,6 +68,67 @@ def test_http_server_endpoints(tmp_path):
 
         code, out = _post(base + "/nope", b"{}", "application/json")
         assert code == 404
+
+        # no text model in this save dir -> /embed_texts is a clean 400
+        assert health["text_model"] is False
+        code, out = _post(base + "/embed_texts",
+                          json.dumps({"texts": ["hi"]}).encode(),
+                          "application/json")
+        assert code == 400 and "error" in out
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_embed_texts(tmp_path):
+    """POST /embed_texts: raw strings (server-side WordPiece via
+    --bert_pretrained_dir) and pre-tokenized arrays both serve; the bert
+    config comes from bert_config.json in the pretrained dir."""
+    import jax
+    import jax.numpy as jnp
+    import serve as serve_cli
+
+    from mimm_tpu import checkpoint as ckpt
+    from mimm_tpu.models.bert import BertConfig, TextBert
+    from tests.test_data import VOCAB
+
+    _make_artifacts(tmp_path)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=32, num_classes=1)
+    tb = TextBert(cfg)
+    v = tb.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    sd = ckpt.bert_state_dict_from_variables(v, cfg.num_hidden_layers)
+    ckpt.save_state_dict_bin(str(tmp_path / "pytorch_MI_text_model.bin"), sd)
+    cfg.to_json_file(str(tmp_path / "bert_config.json"))
+    (tmp_path / "vocab.txt").write_text("\n".join(VOCAB) + "\n")
+
+    server = serve_cli.build_server(str(tmp_path), port=0, batch_size=4,
+                                    bert_pretrained_dir=str(tmp_path),
+                                    max_seq_length=16)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read().decode())["text_model"] is True
+        code, out = _post(
+            base + "/embed_texts",
+            json.dumps({"texts": ["the lungs are clear",
+                                  "no acute process"]}).encode(),
+            "application/json")
+        assert code == 200
+        emb = np.asarray(out["embeddings"])
+        assert emb.shape == (2, 32) and np.isfinite(emb).all()
+
+        ids = np.ones((2, 16), np.int32)
+        code, out = _post(
+            base + "/embed_texts",
+            json.dumps({"input_ids": ids.tolist(),
+                        "attention_mask": ids.tolist()}).encode(),
+            "application/json")
+        assert code == 200
+        assert np.asarray(out["embeddings"]).shape == (2, 32)
     finally:
         server.shutdown()
         server.server_close()
