@@ -258,6 +258,41 @@ def test_pp_resident_checkpoint_stays_unstacked(tmp_path):
             state.params["text_model"]["bert"]["layer1"]["attention"]["query"]["kernel"]))
 
 
+def test_pp_resident_with_frozen_text_encoder():
+    """freeze_text_encoder wraps the text optimizer in optax
+    multi_transform, whose masked moment trees carry empty MaskedNode
+    leaves — the resident stack/unstack and 'pipe' placement must pass
+    them through (and frozen params must still receive zero updates)."""
+    from mimm_tpu.parallel.pipeline import (is_stacked_text,
+                                            stack_resident_text_state)
+    bert, cfg, model, txs_plain, batch = _tiny_mi_setup()
+    cfg = cfg.replace(freeze_text_encoder=True)
+    txs = make_optimizers(cfg, steps_per_epoch=2)
+
+    mesh_pp = mesh_lib.make_mesh({"data": 4, "pipe": 2})
+    state0 = create_mi_state(model, cfg, txs, jax.random.PRNGKey(0))
+    # snapshot BEFORE the step: donation deletes buffers the sharded
+    # state aliases with state0
+    trunk_before = np.asarray(
+        state0.params["text_model"]["bert"]["layer0"]["attention"]["query"]["kernel"])
+    img_before = np.asarray(state0.params["image_model"]["conv1"]["kernel"])
+    s = mesh_lib.shard_mi_state(
+        mesh_pp, stack_resident_text_state(state0, 2))
+    assert is_stacked_text(s.params["text_model"])
+    step = make_mi_train_step(model, txs, cfg, mesh=mesh_pp)
+    b = mesh_lib.shard_batch(mesh_pp, batch)
+    s, loss = step(s, b)
+    assert np.isfinite(float(loss))
+    # frozen trunk: stacked layer params unchanged after the step
+    after = s.params["text_model"]["bert"]["layers"]["attention"]["query"][
+        "kernel"]
+    np.testing.assert_array_equal(np.asarray(after)[0], trunk_before)
+    # the unfrozen image tower did train (the text classifier head gets
+    # no gradient from the MI loss, so it is not a freeze signal)
+    assert not np.array_equal(
+        np.asarray(s.params["image_model"]["conv1"]["kernel"]), img_before)
+
+
 def test_pp_validates_divisibility():
     model, params = _init_text_params()
     ids, masks, segs = _text_inputs()
