@@ -54,7 +54,8 @@ def train_mutual_information(cfg: TrainingConfig):
     return manager, state
 
 
-def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
+def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers,
+                           mesh=None):
     from mimm_tpu.metrics import configure_run_logging
     from mimm_tpu.train.classifier import ClassifierModelManager
 
@@ -62,7 +63,10 @@ def train_image_classifier(cfg: TrainingConfig, embed_fn, mlp_hidden_layers):
 
     configure_run_logging(os.path.join(
         cfg.save_directory, f"training_classifier_{cfg.disease_label}.log"))
-    manager = ClassifierModelManager(cfg, embed_fn, mlp_hidden_layers)
+    # pass the SAME mesh the embed_fn was built with (it shards batches;
+    # the Manager replicates the MLP state so devices agree)
+    manager = ClassifierModelManager(cfg, embed_fn, mlp_hidden_layers,
+                                     mesh=mesh)
     # --resume_from auto: pick up a preemption checkpoint if one exists
     # (classifier_<label>_preempt.ckpt, written on SIGTERM — mimm_tpu.preempt)
     return manager.train(resume_from=preempt.resolve_resume(

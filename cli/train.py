@@ -60,9 +60,15 @@ def train_Classifier(base_cfg, isMultiModal: bool):
         from cli.multi_modal import train_image_classifier
     from mimm_tpu import checkpoint as ckpt
     from mimm_tpu.models.resnet import ResNet256_6_2_1
+    from mimm_tpu.parallel import mesh as mesh_lib
     from mimm_tpu.train.ae import build_ae_model
     from mimm_tpu.train.classifier import make_embedding_fn
 
+    # data-parallel the frozen-encoder embedding pass over the mesh
+    # (classifier throughput scales with chips; same math)
+    mesh = mesh_lib.make_mesh(
+        dict(base_cfg.mesh_shape) or None,
+        dcn_mesh_shape=dict(getattr(base_cfg, "dcn_mesh_shape", ())) or None)
     if isMultiModal:
         run_dir = os.path.join(
             base_cfg.save_directory,
@@ -75,7 +81,7 @@ def train_Classifier(base_cfg, isMultiModal: bool):
         model = ResNet256_6_2_1(output_channels=base_cfg.output_channels)
         variables = ckpt.load_resnet_from_bin(
             os.path.join(run_dir, "pytorch_MI_image_model.bin"))
-        embed = make_embedding_fn("multimodal", model, variables)
+        embed = make_embedding_fn("multimodal", model, variables, mesh=mesh)
     else:
         run_dir = os.path.join(base_cfg.save_directory,
                                f"um_ae_epoch{base_cfg.num_train_epochs}")
@@ -83,7 +89,7 @@ def train_Classifier(base_cfg, isMultiModal: bool):
         sd = ckpt.load_state_dict_bin(
             os.path.join(run_dir, f"autoencoder_path_{base_cfg.num_train_epochs}.bin"))
         variables = ckpt.ae_variables_from_state_dict(sd)
-        embed = make_embedding_fn("unimodal", model, variables)
+        embed = make_embedding_fn("unimodal", model, variables, mesh=mesh)
 
     from mimm_tpu import preempt
     for disease in DISEASES:
@@ -98,7 +104,7 @@ def train_Classifier(base_cfg, isMultiModal: bool):
                     cfg = base_cfg.replace(
                         save_directory=run_dir, disease_label=disease,
                         optimizer=opt, init_lr=lr)
-                    train_image_classifier(cfg, embed, layers)
+                    train_image_classifier(cfg, embed, layers, mesh=mesh)
 
 
 def main():

@@ -53,9 +53,19 @@ class ClassifierTrainState(NamedTuple):
     step: jax.Array
 
 
-def make_embedding_fn(kind: str, model, variables) -> Callable:
+def make_embedding_fn(kind: str, model, variables, mesh=None) -> Callable:
     """Jitted frozen-encoder embedding: kind 'multimodal' (ResNet z) or
-    'unimodal' (ResNetAE.encode)."""
+    'unimodal' (ResNetAE.encode).
+
+    ``mesh``: data-parallel the frozen-encoder pass (the classifier
+    phase's dominant cost — the reference runs it for 100 epochs per
+    disease): encoder weights replicate over the mesh and each batch
+    shards over 'data', so embedding throughput scales with the chip
+    count.  Ragged batches (the val loader keeps its remainder) fall
+    back to replicated placement — same math either way."""
+    if mesh is not None:
+        from mimm_tpu.parallel import mesh as mesh_lib
+        variables = mesh_lib.replicate(mesh, variables)
     if kind == "multimodal":
         @jax.jit
         def embed(images):
@@ -71,7 +81,19 @@ def make_embedding_fn(kind: str, model, variables) -> Callable:
                                train=False, method=ResNetAE.encode)
     else:
         raise ValueError(f"unknown encoder kind: {kind}")
-    return embed
+    if mesh is None:
+        return embed
+
+    from mimm_tpu.parallel import mesh as mesh_lib
+    d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        mesh_lib.DATA_AXIS, 1)
+
+    def sharded_embed(images):
+        sh = mesh_lib.batch_sharding(mesh) if images.shape[0] % d == 0 \
+            else mesh_lib.replicated(mesh)
+        return embed(jax.device_put(images, sh))
+
+    return sharded_embed
 
 
 def make_classifier_step(mlp: BasicMLP, tx, seed: int,
@@ -145,11 +167,15 @@ class ClassifierModelManager:
     """Reference-shaped facade (main_utils.py:276-316)."""
 
     def __init__(self, cfg, embed_fn: Callable, mlp_hidden_layers,
-                 dataset=None, val_fraction: float = 0.05):
+                 dataset=None, val_fraction: float = 0.05, mesh=None):
+        """``mesh``: data-parallel placement for the tiny MLP state (the
+        embed_fn handles its own batch sharding — build it with the SAME
+        mesh via ``make_embedding_fn(..., mesh=mesh)``)."""
         from mimm_tpu.data.pipeline import CXRImageDiseaseDataset, Loader
 
         self.cfg = cfg
         self.embed = embed_fn
+        self.mesh = mesh
         self.mlp = BasicMLP(768, list(mlp_hidden_layers))
 
         if dataset is None:
@@ -217,6 +243,9 @@ class ClassifierModelManager:
             logger.info("Resumed classifier from %s at step %d (epoch %d, "
                         "batch %d)", resume_from, int(state.step),
                         start_epoch, resume_start_batch)
+        if self.mesh is not None:
+            from mimm_tpu.parallel import mesh as mesh_lib
+            state = mesh_lib.replicate(self.mesh, state)
         preempt_sync = jax.process_count() > 1
         for epoch in range(start_epoch, num_epochs):
             start = time.time()

@@ -223,6 +223,48 @@ def test_classifier_end_to_end(cfg):
     assert bins, "reference-named classifier checkpoint missing"
 
 
+def test_classifier_dp_mesh_matches_unsharded(cfg, tmp_path):
+    """Classifier data parallelism (make_embedding_fn(mesh=...) +
+    ClassifierModelManager(mesh=...)): frozen-encoder batches shard over
+    'data', the MLP state replicates — identical training to the
+    meshless run (threefry keys are sharding-invariant)."""
+    from mimm_tpu.train.ae import build_ae_model
+    from mimm_tpu.train.classifier import (ClassifierModelManager,
+                                           make_embedding_fn)
+
+    cfg = cfg.replace(num_train_epochs_classifier=2,
+                      disease_label="Pneumonia",
+                      rng_impl="threefry2x32")
+    ae = build_ae_model(cfg)
+    variables = ae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)),
+                        train=False)
+    ds = FakeDiseaseDataset(n=16, size=64)
+
+    embed1 = make_embedding_fn("unimodal", ae, variables)
+    mgr1 = ClassifierModelManager(cfg, embed1, [32, 16], dataset=ds,
+                                  val_fraction=0.25)
+    s1, acc1, _ = mgr1.train(num_epochs=2)
+
+    cfg4 = cfg.replace(save_directory=str(tmp_path / "dp4"))
+    mesh = mesh_lib.make_mesh({"data": 4})
+    embed4 = make_embedding_fn("unimodal", ae, variables, mesh=mesh)
+    mgr4 = ClassifierModelManager(cfg4, embed4, [32, 16], dataset=ds,
+                                  val_fraction=0.25, mesh=mesh)
+    s4, acc4, _ = mgr4.train(num_epochs=2)
+
+    assert acc4 == acc1
+    a = jax.tree.leaves(jax.device_get(s1.params))
+    b = jax.tree.leaves(jax.device_get(s4.params))
+    for x, y in zip(a, b):
+        # sharded BCE/grad reductions reorder float sums (psum tree vs
+        # serial) — equality is exact up to that noise
+        np.testing.assert_allclose(y, x, rtol=5e-3, atol=1e-5)
+    # val loader keeps its remainder (4 samples, batch 4 -> divisible;
+    # force a ragged batch through the replicated fallback too)
+    ragged = np.random.default_rng(0).random((3, 64, 64, 1)).astype(np.float32)
+    assert np.asarray(embed4(ragged)).shape[0] == 3
+
+
 def test_mi_resume_continues_from_checkpoint(cfg):
     """MI resume restores the full 3-optimizer state and lands on the same
     result as an uninterrupted run."""
