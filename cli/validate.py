@@ -28,8 +28,13 @@ def main():
     known, rest = parser.parse_known_args()
     cfg = construct_training_parameters(rest)
 
+    from mimm_tpu.parallel import mesh as mesh_lib
     from mimm_tpu.validate import validate_MultiModal, validate_UniModal
 
+    # data-parallel the encoder pass over the configured mesh
+    mesh = mesh_lib.make_mesh(
+        dict(cfg.mesh_shape) or None,
+        dcn_mesh_shape=dict(getattr(cfg, "dcn_mesh_shape", ())) or None)
     if known.modality == "mm":
         run_dir = os.path.join(
             cfg.save_directory,
@@ -42,7 +47,8 @@ def main():
         cfg = cfg.replace(save_directory=run_dir)
         result = validate_MultiModal(
             cfg, MLP_LAYER, known.disease,
-            classifier_epoch=known.classifier_epoch, extended=known.extended)
+            classifier_epoch=known.classifier_epoch, extended=known.extended,
+            mesh=mesh)
     else:
         run_dir = os.path.join(cfg.save_directory,
                                f"um_ae_epoch{cfg.num_train_epochs}")
@@ -51,7 +57,7 @@ def main():
         result = validate_UniModal(
             cfg, MLP_LAYER, known.disease,
             classifier_epoch=known.classifier_epoch, ae_epoch=known.ae_epoch,
-            extended=known.extended)
+            extended=known.extended, mesh=mesh)
     if known.extended:
         for key in ("accuracy", "separability", "auc", "precision", "recall",
                     "f1", "tp", "tn", "fp", "fn", "positives", "negatives"):

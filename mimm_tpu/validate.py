@@ -67,15 +67,36 @@ def _load_classifier(cfg, mlp_layer: List[int], disease: str,
     return clf, clf_params
 
 
-def _run_validation(forward, loader) -> dict:
+def _image_putter(mesh):
+    """Data-parallel the frozen-encoder validation pass: batches shard
+    over the mesh's 'data' axis (the drop_last=False loader's ragged
+    final batch falls back to replicated placement — same math).  The
+    weight trees are numpy closure constants, so GSPMD replicates them
+    on its own.  mesh=None: identity (single-device)."""
+    if mesh is None:
+        return lambda x: x
+    from mimm_tpu.parallel import mesh as mesh_lib
+    d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        mesh_lib.DATA_AXIS, 1)
+
+    def put(images):
+        sh = mesh_lib.batch_sharding(mesh) if images.shape[0] % d == 0 \
+            else mesh_lib.replicated(mesh)
+        return jax.device_put(images, sh)
+
+    return put
+
+
+def _run_validation(forward, loader, put=None) -> dict:
     """Shared test loop (reference validate.py:111-151): accuracy =
     mean(round(sigmoid) == label); GDV over collected pos/neg embeddings.
     Extends the reference with AUC-ROC / precision / recall / F1 and the
     confusion counts (metrics.binary_classification_report)."""
+    put = put or (lambda x: x)
     all_probs, all_labels = [], []
     pos_emb, neg_emb = [], []
     for batch in loader.epoch(0):
-        emb, probs = forward(batch["image"])
+        emb, probs = forward(put(batch["image"]))
         emb = np.asarray(emb)
         labels = np.asarray(batch["label"])
         all_probs.append(np.asarray(probs))
@@ -101,10 +122,11 @@ def _run_validation(forward, loader) -> dict:
 
 def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
                         dataset=None, classifier_epoch: Optional[int] = None,
-                        extended: bool = False):
+                        extended: bool = False, mesh=None):
     """Returns (accuracy, separability) like reference validate.py:63-153;
     with ``extended=True`` the full report dict (accuracy, auc, precision,
-    recall, f1, confusion counts, separability) instead."""
+    recall, f1, confusion counts, separability) instead.  ``mesh``:
+    data-parallel the encoder pass (see :func:`_image_putter`)."""
     loader = _make_loader(cfg, disease, dataset)
 
     image_model = ResNet256_6_2_1(output_channels=cfg.output_channels)
@@ -122,7 +144,7 @@ def validate_MultiModal(cfg, mlp_layer: List[int], disease: str,
         emb = outs[1]
         return emb, clf.apply(clf_params, emb)[:, 0]
 
-    report = _run_validation(forward, loader)
+    report = _run_validation(forward, loader, put=_image_putter(mesh))
     return report if extended else (report["accuracy"],
                                     report["separability"])
 
@@ -143,7 +165,7 @@ def find_ae_checkpoint(save_directory: str, epoch: Optional[int] = None) -> str:
 def validate_UniModal(cfg, mlp_layer: List[int], disease: str,
                       dataset=None, classifier_epoch: Optional[int] = None,
                       ae_epoch: Optional[int] = None,
-                      extended: bool = False):
+                      extended: bool = False, mesh=None):
     """Unimodal counterpart (reference validate.py's um_*.log runs,
     save_dir/validation/um_*.log): embeddings come from the pretrained
     ResNetAE bottleneck (``ResNetAE.encode``, autoencoder_model.py:206-208)
@@ -168,6 +190,6 @@ def validate_UniModal(cfg, mlp_layer: List[int], disease: str,
                        method=ResNetAE.encode)
         return emb, clf.apply(clf_params, emb)[:, 0]
 
-    report = _run_validation(forward, loader)
+    report = _run_validation(forward, loader, put=_image_putter(mesh))
     return report if extended else (report["accuracy"],
                                     report["separability"])

@@ -59,6 +59,14 @@ def test_validate_unimodal_chain(tmp_path):
     assert 0.0 <= acc <= 1.0
     assert np.isfinite(gdv)
 
+    # data-parallel validation over a 4-chip mesh: identical report
+    # (12 samples / batch 4 -> two sharded batches + the drop_last=False
+    # remainder handling)
+    acc4, gdv4 = validate_UniModal(cfg, [16], cfg.disease_label, dataset=dds,
+                                   mesh=mesh_lib.make_mesh({"data": 4}))
+    assert acc4 == acc
+    np.testing.assert_allclose(gdv4, gdv, rtol=1e-6, atol=1e-9)
+
     # extended report (beyond reference parity): same accuracy/GDV plus
     # AUC/precision/recall/F1 and consistent confusion counts
     rep = validate_UniModal(cfg, [16], cfg.disease_label, dataset=dds,
