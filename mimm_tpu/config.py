@@ -199,6 +199,12 @@ class TrainingConfig:
     # which reorders batches WITHIN an epoch (equivalent to a different
     # shuffle; every batch is still consumed exactly once).
     scan_steps: int = 1
+    # Trace this many train steps of the first running epoch with
+    # jax.profiler into <save_directory>/profile/ (TensorBoard-loadable;
+    # open with tensorboard --logdir).  The stop is preceded by a hard
+    # device sync so the traced steps' device work is captured.  0 = off
+    # (profiling adds per-step overhead — leave off in production).
+    profile_steps: int = 0
     # Mirror every MetricWriter scalar into TensorBoard event files under
     # <save_directory>/tb/<run>/ (mimm_tpu/tbevents.py — dependency-free
     # tfevents encoding, loadable by stock TensorBoard).  JSONL + the

@@ -7,9 +7,10 @@ The reference's only observability is per-epoch wall-clock logging
   TensorBoard/Perfetto-loadable trace of device + host activity.
 * ``StepTimer`` — cheap per-step wall timing with pairs/sec accounting and
   JSONL emission through MetricWriter.
-* ``debug_mode()`` — enables NaN checking (``jax_debug_nans``) and disables
-  NaN checking for debugging (jax_debug_nans; see debug_mode's note on
-  donated buffers).
+* ``StepProfiler`` — trace the first N train-step dispatches of a run
+  (cfg.profile_steps) into <save_directory>/profile/.
+* ``debug_mode()`` — NaN-checking context (``jax_debug_nans``; see
+  debug_mode's note on donated buffers).
 * ``annotate(name)`` — ``jax.profiler.TraceAnnotation`` wrapper so pipeline
   stages show up in traces.
 """
@@ -36,6 +37,43 @@ def trace(logdir: str) -> Iterator[None]:
 def annotate(name: str):
     """Scope annotation visible in profiler traces."""
     return jax.profiler.TraceAnnotation(name)
+
+
+class StepProfiler:
+    """Trace the first N train-step dispatches into ``logdir``
+    (cfg.profile_steps — wired into every trainer loop).
+
+    ``step(value)`` starts the trace on its first call, counts one
+    dispatch (a multi-step scan chunk counts as one), and on the Nth
+    stops the trace after a HARD device sync (``jax.device_get`` of the
+    step's loss — a data-dependent read is the only honest barrier
+    through async dispatch, so the traced steps' device work is in the
+    file).  ``close()`` stops early if the epoch ran out of batches.
+    Traces open with ``tensorboard --logdir <logdir>``."""
+
+    def __init__(self, logdir: str, steps: int):
+        self.logdir = logdir
+        self.remaining = int(steps)
+        self.active = False
+
+    def step(self, sync_value) -> None:
+        if self.remaining <= 0:
+            return
+        if not self.active:
+            jax.profiler.start_trace(self.logdir)
+            self.active = True
+        self.remaining -= 1
+        if self.remaining == 0:
+            self.close(sync_value)
+
+    def close(self, sync_value=None) -> None:
+        if not self.active:
+            return
+        if sync_value is not None:
+            jax.device_get(sync_value)
+        jax.profiler.stop_trace()
+        self.active = False
+        self.remaining = 0
 
 
 @contextlib.contextmanager

@@ -203,6 +203,9 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
 
     training_loss = []
     preempt_sync = jax.process_count() > 1
+    from mimm_tpu.profiling import StepProfiler
+    profiler = StepProfiler(os.path.join(cfg.save_directory, "profile"),
+                            int(getattr(cfg, "profile_steps", 0)))
     for epoch in range(start_epoch, num_epochs):
         start = time.time()
         # Device-side loss accumulation: one host read per epoch instead of
@@ -215,10 +218,12 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                                       sharding=mesh_lib.batch_sharding(mesh)):
             state, loss = train_step(state, images)
             step_losses.append(loss)
+            profiler.step(loss)
             if preempt.should_stop(sync=preempt_sync):
                 # SIGTERM (pod eviction/maintenance): save the FULL state
                 # tree and stop; resume_from continues mid-epoch
                 # (mimm_tpu.preempt).
+                profiler.close()
                 path = ckpt.save_checkpoint(
                     os.path.join(cfg.save_directory, "ae_preempt.ckpt"),
                     state._asdict(),
@@ -229,6 +234,7 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                 writer.close()
                 ckpt.wait_for_async_saves()
                 return state
+        profiler.close(step_losses[-1] if step_losses else None)
         epoch_loss = float(np.sum(jax.device_get(step_losses))) \
             if step_losses else 0.0
         training_loss.append(epoch_loss)

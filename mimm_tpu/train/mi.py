@@ -641,6 +641,9 @@ class MultiModalManager:
 
         training_loss = []
         preempt_sync = jax.process_count() > 1
+        from mimm_tpu.profiling import StepProfiler
+        profiler = StepProfiler(os.path.join(cfg.save_directory, "profile"),
+                                int(getattr(cfg, "profile_steps", 0)))
         for epoch in range(start_epoch, num_epochs):
             start = time.time()
             # Accumulate step losses as device scalars and read them ONCE at
@@ -661,12 +664,14 @@ class MultiModalManager:
                 else:
                     state, loss = train_step(state, batch)
                     step_losses.append(loss)
+                profiler.step(step_losses[-1])
                 if preempt.should_stop(sync=preempt_sync):
                     # SIGTERM (pod eviction/maintenance): save the FULL
                     # state tree and stop.  resume_from this path picks
                     # the run back up mid-epoch (mimm_tpu.preempt).
                     # Preempt checkpoints use the plain text layout too
                     # (resume restacks when the new run is pp).
+                    profiler.close()
                     from mimm_tpu.parallel.pipeline import (
                         is_stacked_text, unstack_resident_text_state)
                     save_state = state
@@ -684,6 +689,7 @@ class MultiModalManager:
                     writer.close()
                     ckpt.wait_for_async_saves()
                     return state
+            profiler.close(step_losses[-1] if step_losses else None)
             epoch_loss = float(sum(np.sum(x) for x in
                                    jax.device_get(step_losses))) \
                 if step_losses else 0.0

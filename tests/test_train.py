@@ -201,6 +201,22 @@ def test_mi_loss_decreases_with_training(cfg):
     assert losses[-1] < losses[0]
 
 
+def test_profile_steps_writes_trace(cfg):
+    """cfg.profile_steps: the first N step dispatches of the run are
+    traced into <save_directory>/profile/ (jax.profiler; loadable by
+    tensorboard --logdir)."""
+    import glob as globlib
+
+    from mimm_tpu.train.ae import train_auto_encoder
+
+    cfg = cfg.replace(profile_steps=2, num_train_epochs=1)
+    ds = FakeImageDataset(n=8, size=64)
+    train_auto_encoder(cfg, dataset=ds, num_epochs=1, mesh=small_mesh())
+    hits = globlib.glob(os.path.join(cfg.save_directory, "profile",
+                                     "**", "*.xplane.pb"), recursive=True)
+    assert hits, "no profiler trace written under profile/"
+
+
 def test_classifier_end_to_end(cfg):
     from mimm_tpu.train.ae import build_ae_model
     from mimm_tpu.train.classifier import ClassifierModelManager, make_embedding_fn
