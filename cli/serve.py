@@ -28,7 +28,11 @@ Request body formats for the POST endpoints:
 
 The server is a stdlib ThreadingHTTPServer; request threads funnel into
 the jitted fixed-batch entry points (one compile per configured batch
-size, amortized across requests).  For multi-tenant or multi-host serving
+size, amortized across requests).  ``--dynamic_batching true`` coalesces
+concurrent requests into full-batch device calls
+(mimm_tpu.serve.DynamicBatcher, ``--batch_wait_ms`` accumulation
+window) — the padding/dispatch cost of N concurrent single-image
+requests collapses to ~N/batch_size calls.  For multi-tenant or multi-host serving
 put a real frontend in front — this is the single-chip worker.
 """
 
@@ -67,18 +71,38 @@ def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
     return arr
 
 
-def _embed_texts_from_request(session, handler: BaseHTTPRequestHandler):
+def _embed_texts_from_request(session, embed_texts,
+                              handler: BaseHTTPRequestHandler):
     payload = json.loads(_read_body(handler).decode())
     if "texts" in payload:
-        return session.embed_reports(list(payload["texts"]))
+        if session.text_model is None:
+            raise RuntimeError("no text model loaded (pass bert_config)")
+        return embed_texts(*session.featurize_reports(list(payload["texts"])))
     ids = np.asarray(payload["input_ids"], np.int32)
     masks = np.asarray(payload["attention_mask"], np.int32)
     segs = np.asarray(payload.get("token_type_ids",
                                   np.zeros_like(ids).tolist()), np.int32)
-    return session.embed_texts(ids, masks, segs)
+    return embed_texts(ids, masks, segs)
 
 
-def make_handler(session):
+def make_handler(session, dynamic_batching: bool = False,
+                 batch_wait_ms: float = 5.0):
+    """``dynamic_batching``: route the three entry points through
+    mimm_tpu.serve.DynamicBatcher — concurrent requests coalesce into
+    full-batch device calls (see the class docstring)."""
+    embed_images = session.embed_images
+    embed_texts = session.embed_texts
+    classify = session.classify
+    if dynamic_batching:
+        from mimm_tpu.serve import DynamicBatcher
+        embed_images = DynamicBatcher(session.embed_images,
+                                      session.batch_size, batch_wait_ms).submit
+        classify = DynamicBatcher(session.classify, session.batch_size,
+                                  batch_wait_ms).submit \
+            if session.classifier is not None else session.classify
+        embed_texts = DynamicBatcher(session.embed_texts, session.batch_size,
+                                     batch_wait_ms).submit \
+            if session.text_model is not None else session.embed_texts
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -105,14 +129,15 @@ def make_handler(session):
         def do_POST(self):
             try:
                 if self.path == "/embed_images":
-                    emb = session.embed_images(_parse_images(self))
-                    self._send(200, {"embeddings": emb.tolist()})
+                    emb = embed_images(_parse_images(self))
+                    self._send(200, {"embeddings": np.asarray(emb).tolist()})
                 elif self.path == "/embed_texts":
-                    emb = _embed_texts_from_request(session, self)
-                    self._send(200, {"embeddings": emb.tolist()})
+                    emb = _embed_texts_from_request(session, embed_texts, self)
+                    self._send(200, {"embeddings": np.asarray(emb).tolist()})
                 elif self.path == "/classify":
-                    probs = session.classify(_parse_images(self))
-                    self._send(200, {"probabilities": probs.tolist()})
+                    probs = classify(_parse_images(self))
+                    self._send(200,
+                               {"probabilities": np.asarray(probs).tolist()})
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except RuntimeError as e:  # e.g. classify without a classifier
@@ -130,7 +155,9 @@ def build_server(save_directory: str, port: int = 8321,
                  compute_dtype: str = "float32",
                  weight_dtype: str = "float32",
                  bert_pretrained_dir: str = None,
-                 max_seq_length: int = 320) -> ThreadingHTTPServer:
+                 max_seq_length: int = 320,
+                 dynamic_batching: bool = False,
+                 batch_wait_ms: float = 5.0) -> ThreadingHTTPServer:
     from mimm_tpu.serve import InferenceSession
 
     if disease and classifier_layers is None:
@@ -164,7 +191,10 @@ def build_server(save_directory: str, port: int = 8321,
                                weight_dtype=weight_dtype,
                                vocab_dir=vocab_dir,
                                max_seq_length=max_seq_length)
-    return ThreadingHTTPServer((host, port), make_handler(session))
+    return ThreadingHTTPServer((host, port),
+                               make_handler(session,
+                                            dynamic_batching=dynamic_batching,
+                                            batch_wait_ms=batch_wait_ms))
 
 
 def main():
@@ -184,6 +214,14 @@ def main():
                    help="bert config + vocab.txt source for /embed_texts "
                         "(config falls back to save_directory/config.json)")
     p.add_argument("--max_seq_length", type=int, default=320)
+    p.add_argument("--dynamic_batching",
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   default=False,
+                   help="coalesce concurrent requests into full-batch "
+                        "device calls (mimm_tpu.serve.DynamicBatcher)")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0,
+                   help="dynamic batching: wait this long after the first "
+                        "request for a batch to accumulate")
     args = p.parse_args()
 
     server = build_server(args.save_directory, port=args.port,
@@ -191,7 +229,9 @@ def main():
                           host=args.host, compute_dtype=args.compute_dtype,
                           weight_dtype=args.weight_dtype,
                           bert_pretrained_dir=args.bert_pretrained_dir,
-                          max_seq_length=args.max_seq_length)
+                          max_seq_length=args.max_seq_length,
+                          dynamic_batching=args.dynamic_batching,
+                          batch_wait_ms=args.batch_wait_ms)
     print(json.dumps({"serving": f"http://{args.host}:{server.server_port}",
                       "save_directory": args.save_directory}))
     server.serve_forever()

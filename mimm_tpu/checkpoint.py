@@ -93,6 +93,35 @@ def _save_orbax(path: str, tree: Any, wait: bool = True) -> str:
     return path
 
 
+def prune_checkpoints(save_dir: str, prefix: str, keep: int) -> list:
+    """Retention for NATIVE resume trees: keep only the newest ``keep``
+    ``<prefix><epoch>.ckpt`` entries (by epoch number) in ``save_dir``;
+    returns the deleted paths.  ``keep <= 0`` keeps everything.  Handles
+    both the pickle file and the orbax directory formats.  Preempt
+    checkpoints (no epoch suffix) and the reference-named .bin exports
+    are never touched — the .bins are the downstream on-disk contract."""
+    import glob as _glob
+    import re
+    import shutil
+
+    if keep <= 0:
+        return []
+    found = []
+    for path in _glob.glob(os.path.join(save_dir, f"{prefix}*.ckpt")):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)\.ckpt",
+                         os.path.basename(path))
+        if m:
+            found.append((int(m.group(1)), path))
+    deleted = []
+    for _, path in sorted(found)[:-keep]:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+        deleted.append(path)
+    return deleted
+
+
 def wait_for_async_saves() -> None:
     """Block until every in-flight ``orbax_async`` checkpoint write has
     committed.  Trainers call this at the end of ``train()``; call it

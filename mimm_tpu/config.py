@@ -265,6 +265,12 @@ class TrainingConfig:
     # start fresh — lets a scheduler restart the SAME command after a
     # preemption and have the run pick itself back up).
     resume_from: str = ""
+    # Retention for NATIVE resume trees (mi_epoch<N>.ckpt /
+    # ae_epoch<N>.ckpt): keep only the newest K after each save; 0 =
+    # keep all (reference-parity packrat).  The reference-named .bin
+    # exports are never pruned — they are the on-disk contract the
+    # downstream stages and parity runs consume.
+    keep_checkpoints: int = 0
     # Native checkpoint serialization: "pickle" (single file, one host),
     # "orbax" (directory; every process writes its own shards — required
     # and auto-forced for multi-host runs), or "orbax_async" (orbax with

@@ -44,6 +44,8 @@ exist because inference has no optimizer/trajectory-parity constraint):
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import List, Optional
 
 import jax
@@ -84,6 +86,114 @@ def _dequantize(tree, dtype):
     return jax.tree.map(
         lambda l: (l["q8"].astype(dtype) * l["s8"].astype(dtype))
         if _is_q(l) else l, tree, is_leaf=_is_q)
+
+
+class DynamicBatcher:
+    """Cross-request DYNAMIC BATCHING for a batched inference function.
+
+    Concurrent callers ``submit(*arrays)`` row-blocks of any size; a
+    single worker thread drains the queue — waiting up to
+    ``max_wait_ms`` after the first arrival to let a batch accumulate,
+    up to ``batch_size`` rows — concatenates compatible requests
+    (identical trailing shapes/dtypes; mismatched ones are deferred to
+    the next round, never dropped), runs ONE call of ``fn``, and
+    scatters the result rows back to the waiting callers.  N concurrent
+    single-row requests cost ~N/batch_size device calls instead of N
+    padded ones — the standard production-serving pattern the
+    fixed-batch jit entry points want.  Errors in ``fn`` propagate to
+    every caller in the failed group.  No reference counterpart
+    (SURVEY.md §0: no serving path)."""
+
+    def __init__(self, fn, batch_size: int, max_wait_ms: float = 5.0):
+        self.fn = fn
+        self.batch_size = int(batch_size)
+        self.max_wait = max(0.0, float(max_wait_ms)) / 1e3
+        self._q = queue.Queue()
+        self._stop = object()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, *arrays) -> np.ndarray:
+        """Blocks until this request's result rows are ready."""
+        arrays = tuple(np.asarray(a) for a in arrays)
+        n = arrays[0].shape[0]
+        box = {"event": threading.Event()}
+        self._q.put((arrays, n, box))
+        box["event"].wait()
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def close(self) -> None:
+        self._q.put(self._stop)
+        self._worker.join(timeout=5)
+
+    @staticmethod
+    def _key(arrays):
+        return tuple((a.shape[1:], a.dtype) for a in arrays)
+
+    def _run(self) -> None:
+        import time as _time
+        pending = []
+        while True:
+            # block for the first request (or drain leftovers first)
+            if not pending:
+                item = self._q.get()
+                if item is self._stop:
+                    return
+                pending.append(item)
+            deadline = _time.monotonic() + self.max_wait
+            group, rows = [], 0
+            key = self._key(pending[0][0])
+            deferred = []
+            while pending or _time.monotonic() < deadline:
+                if not pending:
+                    try:
+                        item = self._q.get(
+                            timeout=max(0.0, deadline - _time.monotonic()))
+                    except queue.Empty:
+                        break
+                    if item is self._stop:
+                        self._flush(group, key)
+                        for it in deferred:
+                            self._fail(it, RuntimeError("batcher closed"))
+                        return
+                    pending.append(item)
+                    continue
+                item = pending.pop(0)
+                if self._key(item[0]) != key:
+                    deferred.append(item)  # different shape family: next round
+                    continue
+                group.append(item)
+                rows += item[1]
+                if rows >= self.batch_size:
+                    break
+            self._flush(group, key)
+            # leftovers (batch filled early) keep their arrival order,
+            # ahead of the shape-mismatched deferrals
+            pending = pending + deferred
+
+    def _flush(self, group, key) -> None:
+        if not group:
+            return
+        try:
+            joined = [np.concatenate([g[0][i] for g in group])
+                      for i in range(len(key))]
+            out = np.asarray(self.fn(*joined))
+            off = 0
+            for arrays, n, box in group:
+                box["result"] = out[off:off + n]
+                off += n
+                box["event"].set()
+        except Exception as e:  # propagate to every waiting caller
+            for item in group:
+                self._fail(item, e)
+
+    @staticmethod
+    def _fail(item, err) -> None:
+        _, _, box = item
+        box["error"] = err
+        box["event"].set()
 
 
 class InferenceSession:
@@ -203,15 +313,14 @@ class InferenceSession:
             raise RuntimeError("no text model loaded (pass bert_config)")
         return self._run_batched(self._embed_texts, ids, masks, segments)
 
-    def embed_reports(self, texts: List[str]) -> np.ndarray:
-        """Raw findings/impression strings -> (N, 768) embeddings: the
-        training featurization ([CLS] + WordPiece + [SEP], truncate/pad
-        to ``max_seq_length`` — data/features.py contract) applied
-        server-side, then the frozen text encoder."""
+    def featurize_reports(self, texts: List[str]):
+        """Raw findings/impression strings -> (ids, masks, segments) with
+        the training featurization ([CLS] + WordPiece + [SEP],
+        truncate/pad to ``max_seq_length`` — data/features.py contract).
+        Pure host work, so a batching frontend can run it per request
+        thread and funnel only the encoder call."""
         if self._tokenizer is None:
             raise RuntimeError("no tokenizer loaded (pass vocab_dir)")
-        if self.text_model is None:
-            raise RuntimeError("no text model loaded (pass bert_config)")
         L = self.max_seq_length
         cls_id, = self._tokenizer.convert_tokens_to_ids(["[CLS]"])
         sep_id, = self._tokenizer.convert_tokens_to_ids(["[SEP]"])
@@ -222,7 +331,14 @@ class InferenceSession:
             row = [cls_id] + self._tokenizer.convert_tokens_to_ids(toks) + [sep_id]
             ids[i, :len(row)] = row
             masks[i, :len(row)] = 1
-        return self.embed_texts(ids, masks, np.zeros_like(ids))
+        return ids, masks, np.zeros_like(ids)
+
+    def embed_reports(self, texts: List[str]) -> np.ndarray:
+        """Raw report strings -> (N, 768): featurize_reports + the frozen
+        text encoder."""
+        if self.text_model is None:
+            raise RuntimeError("no text model loaded (pass bert_config)")
+        return self.embed_texts(*self.featurize_reports(texts))
 
     def classify(self, images: np.ndarray) -> np.ndarray:
         """(N, H, W, 1) -> (N,) disease probabilities."""

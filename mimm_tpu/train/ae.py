@@ -246,6 +246,12 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                                       export_torch_bins=export_torch_bins,
                                       ckpt_format=getattr(
                                           cfg, "checkpoint_format", "pickle"))
+            keep = int(getattr(cfg, "keep_checkpoints", 0))
+            if keep > 0 and jax.process_index() == 0:
+                if getattr(cfg, "checkpoint_format",
+                           "pickle") == "orbax_async":
+                    ckpt.wait_for_async_saves()  # never prune in-flight
+                ckpt.prune_checkpoints(cfg.save_directory, "ae_epoch", keep)
         writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
         if loader.skipped:
             writer.write(epoch=epoch + 1, skipped_records=loader.skipped)

@@ -177,3 +177,63 @@ def test_serve_embed_reports_raw_text(tmp_path):
     no_vocab = InferenceSession(str(tmp_path), batch_size=4, bert_config=cfg)
     with pytest.raises(RuntimeError, match="no tokenizer"):
         no_vocab.embed_reports(["text"])
+
+
+def test_dynamic_batcher_coalesces_and_scatters():
+    """DynamicBatcher: concurrent single-row submits coalesce into few
+    full-batch calls; every caller gets exactly its rows back."""
+    import concurrent.futures as cf
+
+    from mimm_tpu.serve import DynamicBatcher
+
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        return x * 2.0
+
+    b = DynamicBatcher(fn, batch_size=8, max_wait_ms=200)
+    try:
+        xs = [np.full((1, 3), i, np.float32) for i in range(8)]
+        with cf.ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(lambda a: b.submit(a), xs))
+        for i, o in enumerate(outs):
+            np.testing.assert_array_equal(o, xs[i] * 2)
+        assert sum(calls) == 8
+        assert len(calls) < 8, f"no coalescing happened: {calls}"
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_shape_groups_multi_array_and_errors():
+    from mimm_tpu.serve import DynamicBatcher
+    import concurrent.futures as cf
+    import pytest
+
+    calls = []
+
+    def fn(ids, masks):
+        calls.append(ids.shape)
+        if ids.shape[1] == 7:
+            raise ValueError("bad length")
+        return ids + masks
+
+    b = DynamicBatcher(fn, batch_size=4, max_wait_ms=100)
+    try:
+        a16 = (np.ones((2, 16), np.int32), np.ones((2, 16), np.int32))
+        a8 = (np.full((1, 8), 3, np.int32), np.ones((1, 8), np.int32))
+        bad = (np.ones((1, 7), np.int32), np.ones((1, 7), np.int32))
+        with cf.ThreadPoolExecutor(3) as ex:
+            f16 = ex.submit(b.submit, *a16)
+            f8 = ex.submit(b.submit, *a8)
+            fbad = ex.submit(b.submit, *bad)
+            np.testing.assert_array_equal(f16.result(timeout=30),
+                                          np.full((2, 16), 2))
+            np.testing.assert_array_equal(f8.result(timeout=30),
+                                          np.full((1, 8), 4))
+            with pytest.raises(ValueError, match="bad length"):
+                fbad.result(timeout=30)
+        # incompatible shapes were never concatenated together
+        assert all(s[1] in (16, 8, 7) for s in calls)
+    finally:
+        b.close()

@@ -80,6 +80,41 @@ def test_http_server_endpoints(tmp_path):
         server.server_close()
 
 
+def test_http_dynamic_batching(tmp_path):
+    """--dynamic_batching: concurrent requests coalesce behind the
+    DynamicBatcher and every caller still gets its own rows."""
+    import concurrent.futures as cf
+
+    import serve as serve_cli
+
+    from mimm_tpu.serve import InferenceSession
+
+    _make_artifacts(tmp_path)
+    server = serve_cli.build_server(str(tmp_path), port=0, batch_size=4,
+                                    dynamic_batching=True, batch_wait_ms=50)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    rng = np.random.default_rng(3)
+    imgs = rng.random((3, 256, 256, 1)).astype(np.float32)
+    sess = InferenceSession(str(tmp_path), batch_size=4)
+    want = sess.embed_images(imgs)
+    try:
+        def post_one(i):
+            body = json.dumps({"images": imgs[i:i + 1].tolist()}).encode()
+            return _post(base + "/embed_images", body, "application/json")
+
+        with cf.ThreadPoolExecutor(3) as ex:
+            results = list(ex.map(post_one, range(3)))
+        for i, (code, out) in enumerate(results):
+            assert code == 200
+            got = np.asarray(out["embeddings"])
+            np.testing.assert_allclose(got[0], want[i], rtol=1e-4, atol=1e-5)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_http_embed_texts(tmp_path):
     """POST /embed_texts: raw strings (server-side WordPiece via
     --bert_pretrained_dir) and pre-tokenized arrays both serve; the bert

@@ -201,6 +201,39 @@ def test_mi_loss_decreases_with_training(cfg):
     assert losses[-1] < losses[0]
 
 
+def test_prune_checkpoints_unit(tmp_path):
+    """checkpoint.prune_checkpoints: numeric epoch ordering (epoch10 >
+    epoch3), orbax directory checkpoints removed too, preempt
+    checkpoints untouched."""
+    from mimm_tpu import checkpoint as ckpt
+    for i in (1, 2, 10):
+        (tmp_path / f"mi_epoch{i}.ckpt").write_text("x")
+    os.makedirs(tmp_path / "mi_epoch3.ckpt")  # orbax-style dir
+    (tmp_path / "mi_preempt.ckpt").write_text("x")
+    deleted = ckpt.prune_checkpoints(str(tmp_path), "mi_epoch", keep=2)
+    assert sorted(os.path.basename(p) for p in deleted) == \
+        ["mi_epoch1.ckpt", "mi_epoch2.ckpt"]
+    remaining = sorted(f for f in os.listdir(tmp_path) if f.startswith("mi_"))
+    assert remaining == ["mi_epoch10.ckpt", "mi_epoch3.ckpt",
+                         "mi_preempt.ckpt"]
+    assert ckpt.prune_checkpoints(str(tmp_path), "mi_epoch", keep=0) == []
+
+
+def test_keep_checkpoints_retention(cfg):
+    """cfg.keep_checkpoints prunes old native resume trees after each
+    epoch save; the reference-named .bin exports are never touched."""
+    from mimm_tpu.train.ae import train_auto_encoder
+
+    cfg = cfg.replace(keep_checkpoints=1)
+    ds = FakeImageDataset(n=8, size=64)
+    train_auto_encoder(cfg, dataset=ds, num_epochs=3, mesh=small_mesh())
+    d = cfg.save_directory
+    cks = sorted(f for f in os.listdir(d) if f.startswith("ae_epoch"))
+    assert cks == ["ae_epoch3.ckpt"]
+    bins = [f for f in os.listdir(d) if f.startswith("autoencoder_path_")]
+    assert len(bins) == 3
+
+
 def test_profile_steps_writes_trace(cfg):
     """cfg.profile_steps: the first N step dispatches of the run are
     traced into <save_directory>/profile/ (jax.profiler; loadable by
