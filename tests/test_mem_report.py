@@ -77,3 +77,17 @@ def test_shard_fraction_reads_nested_specs():
     assert _shard_fraction(P(None, "model"), sizes) == 2
     assert _shard_fraction(P(("data", "model")), sizes) == 8
     assert _shard_fraction(P(None, None, None, "data"), sizes) == 4
+
+
+def test_ae_trainer_accounting():
+    from mem_report import report
+    r = report(_cfg(mesh_shape=(("data", 4),),
+                    zero1_optimizer_sharding=True,
+                    fsdp_parameter_sharding=True), trainer="ae")
+    assert r["trainer"] == "ae"
+    assert set(r["groups"]) == {"params", "batch_stats", "opt_state"}
+    for name in ("params", "opt_state"):
+        g, p = r["groups"][name]["global_mb"], r["groups"][name]["per_chip_mb"]
+        assert p < 0.5 * g, (name, p, g)
+    bs = r["groups"]["batch_stats"]
+    assert bs["per_chip_mb"] == bs["global_mb"]

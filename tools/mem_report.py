@@ -78,32 +78,58 @@ def abstract_mi_state(cfg, bert_config=None):
     return jax.eval_shape(build, jax.random.PRNGKey(0)), mesh
 
 
-def report(cfg, bert_config=None) -> dict:
+def abstract_ae_state(cfg):
+    """Shape-only AETrainState for cfg (train/ae.py)."""
+    import jax
+
+    from mimm_tpu.train.ae import build_ae_model, create_ae_state
+
+    model = build_ae_model(cfg)
+    mesh = MeshStub(dict(cfg.mesh_shape))
+    return jax.eval_shape(
+        lambda rng: create_ae_state(model, cfg, rng),
+        jax.random.PRNGKey(0)), mesh
+
+
+def report(cfg, bert_config=None, trainer: str = "mi") -> dict:
     """{'groups': {name: {'global_mb', 'per_chip_mb'}}, 'total_*_mb',
-    'mesh': {...}} for cfg's mesh/ZeRO/pp/tp knobs."""
+    'mesh': {...}} for cfg's mesh/ZeRO/pp/tp knobs.  ``trainer``: 'mi'
+    (flagship joint model) or 'ae' (autoencoder)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
-    from mimm_tpu.parallel.mesh import mi_state_specs
+    from mimm_tpu.parallel.mesh import mi_state_specs, zero1_shardings
 
-    state, mesh = abstract_mi_state(cfg, bert_config)
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    specs = mi_state_specs(
-        mesh, state,
-        zero1=getattr(cfg, "zero1_optimizer_sharding", False),
-        fsdp=getattr(cfg, "fsdp_parameter_sharding", False))
-
-    groups = {
-        "params/image_model": (state.params["image_model"],
-                               specs.params["image_model"]),
-        "params/text_model": (state.params["text_model"],
-                              specs.params["text_model"]),
-        "critic_params": (state.critic_params, specs.critic_params),
-        "batch_stats": (state.batch_stats, specs.batch_stats),
-        "img_opt": (state.img_opt, specs.img_opt),
-        "mi_opt": (state.mi_opt, specs.mi_opt),
-        "txt_opt": (state.txt_opt, specs.txt_opt),
-    }
+    zero1 = getattr(cfg, "zero1_optimizer_sharding", False)
+    fsdp = getattr(cfg, "fsdp_parameter_sharding", False)
+    if trainer == "ae":
+        state, mesh = abstract_ae_state(cfg)
+        rep = lambda t: jax.tree.map(lambda _: P(), t)
+        z = lambda t: zero1_shardings(mesh, t)
+        groups = {
+            "params": (state.params, (z if fsdp else rep)(state.params)),
+            "batch_stats": (state.batch_stats, rep(state.batch_stats)),
+            "opt_state": (state.opt_state,
+                          (z if zero1 else rep)(state.opt_state)),
+        }
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    elif trainer == "mi":
+        state, mesh = abstract_mi_state(cfg, bert_config)
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        specs = mi_state_specs(mesh, state, zero1=zero1, fsdp=fsdp)
+        groups = {
+            "params/image_model": (state.params["image_model"],
+                                   specs.params["image_model"]),
+            "params/text_model": (state.params["text_model"],
+                                  specs.params["text_model"]),
+            "critic_params": (state.critic_params, specs.critic_params),
+            "batch_stats": (state.batch_stats, specs.batch_stats),
+            "img_opt": (state.img_opt, specs.img_opt),
+            "mi_opt": (state.mi_opt, specs.mi_opt),
+            "txt_opt": (state.txt_opt, specs.txt_opt),
+        }
+    else:
+        raise ValueError(f"unknown trainer: {trainer}")
     out = {}
     for name, (tree, spec_tree) in groups.items():
         leaves = jax.tree.leaves(tree)
@@ -119,9 +145,10 @@ def report(cfg, bert_config=None) -> dict:
         out[name] = {"global_mb": round(g / 2**20, 2),
                      "per_chip_mb": round(p / 2**20, 2)}
     return {
+        "trainer": trainer,
         "mesh": sizes,
-        "zero1": bool(getattr(cfg, "zero1_optimizer_sharding", False)),
-        "fsdp": bool(getattr(cfg, "fsdp_parameter_sharding", False)),
+        "zero1": bool(zero1),
+        "fsdp": bool(fsdp),
         "groups": out,
         "total_global_mb": round(sum(v["global_mb"] for v in out.values()), 2),
         "total_per_chip_mb": round(sum(v["per_chip_mb"] for v in out.values()), 2),
@@ -135,9 +162,16 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     from mimm_tpu.config import construct_training_parameters
 
-    cfg = construct_training_parameters()
-    r = report(cfg)
-    print(f"mesh={r['mesh']} zero1={r['zero1']} fsdp={r['fsdp']}")
+    trainer = "mi"
+    argv = sys.argv[1:]
+    if "--trainer" in argv:
+        i = argv.index("--trainer")
+        trainer = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    cfg = construct_training_parameters(argv)
+    r = report(cfg, trainer=trainer)
+    print(f"trainer={trainer} mesh={r['mesh']} zero1={r['zero1']} "
+          f"fsdp={r['fsdp']}")
     print(f"{'tree':24s} {'global MB':>10s} {'per-chip MB':>12s}")
     for name, v in r["groups"].items():
         print(f"{name:24s} {v['global_mb']:>10.2f} {v['per_chip_mb']:>12.2f}")
