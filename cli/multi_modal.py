@@ -17,7 +17,7 @@ from mimm_tpu.config import TrainingConfig, construct_training_parameters
 
 def train_mutual_information(cfg: TrainingConfig):
     from mimm_tpu.data.features import load_and_cache_examples
-    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+    from mimm_tpu.data.tokenizer import NativeWordPieceTokenizer as WordPieceTokenizer
     from mimm_tpu.parallel import mesh as mesh_lib
     from mimm_tpu.train.mi import MultiModalManager
 

@@ -1,4 +1,4 @@
-from .tokenizer import WordPieceTokenizer
+from .tokenizer import NativeWordPieceTokenizer, WordPieceTokenizer
 from .features import (
     InputExample,
     InputFeatures,
@@ -17,6 +17,7 @@ from .pipeline import (
 from . import etl, transforms
 
 __all__ = [
+    "NativeWordPieceTokenizer",
     "WordPieceTokenizer",
     "InputExample",
     "InputFeatures",

@@ -76,13 +76,25 @@ def create_examples_from_tsv(path: str, set_type: str = "dev") -> List[InputExam
 
 def convert_example_to_feature(example: InputExample, label_map: Dict[str, int],
                                max_seq_length: int, tokenizer) -> InputFeatures:
-    """Reference convert_example_to_feature (model_utils.py:474-528)."""
-    tokens_a = tokenizer.tokenize(example.text_a)
-    if len(tokens_a) > max_seq_length - 2:
-        tokens_a = tokens_a[: max_seq_length - 2]
-    tokens = ["[CLS]"] + tokens_a + ["[SEP]"]
-    segment_ids = [0] * len(tokens)
-    input_ids = tokenizer.convert_tokens_to_ids(tokens)
+    """Reference convert_example_to_feature (model_utils.py:474-528).
+
+    Tokenizers exposing ``encode_wordpiece_ids`` (our WordPieceTokenizer
+    facade, incl. the C++-backed NativeWordPieceTokenizer) take the
+    one-call ids path — identical output, skips the token-string
+    round-trip; arbitrary tokenizers (e.g. transformers') keep the
+    reference's tokenize + convert_tokens_to_ids flow."""
+    if hasattr(tokenizer, "encode_wordpiece_ids"):
+        ids_a = tokenizer.encode_wordpiece_ids(example.text_a)
+        ids_a = ids_a[: max_seq_length - 2]
+        cls_id, sep_id = tokenizer.convert_tokens_to_ids(["[CLS]", "[SEP]"])
+        input_ids = [cls_id] + ids_a + [sep_id]
+    else:
+        tokens_a = tokenizer.tokenize(example.text_a)
+        if len(tokens_a) > max_seq_length - 2:
+            tokens_a = tokens_a[: max_seq_length - 2]
+        input_ids = tokenizer.convert_tokens_to_ids(
+            ["[CLS]"] + tokens_a + ["[SEP]"])
+    segment_ids = [0] * len(input_ids)
     input_mask = [1] * len(input_ids)
     pad = [0] * (max_seq_length - len(input_ids))
     return InputFeatures(input_ids=input_ids + pad, input_mask=input_mask + pad,
@@ -134,10 +146,22 @@ def convert_examples_to_features(examples: Sequence[InputExample],
     ``Pool(cpu_count()-1)``) — pure-python WordPiece is GIL-bound, so
     threads cannot help.  ``Pool.map`` preserves order, so the feature
     list is identical to the serial one.  Serial fallbacks: few examples,
-    one core, or a live jax backend (fork hazard)."""
+    one core, or a live jax backend (fork hazard).
+
+    A NativeWordPieceTokenizer (C++ encoder, releases the GIL) fans out
+    over THREADS instead — same parallelism without the fork hazard, so
+    it stays parallel even after jax initializes."""
     label_map = {label: i for i, label in enumerate(LABEL_LIST)}
     label_map["-1"] = -1  # unlabeled (model_utils.py:536)
     workers = min(int(num_workers), max(1, (os.cpu_count() or 1) - 1))
+    if (workers > 1 and len(examples) >= 4 * workers
+            and getattr(tokenizer, "native_gil_free", False)):
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(workers) as pool:
+            return list(pool.map(
+                lambda e: convert_example_to_feature(
+                    e, label_map, max_seq_length, tokenizer),
+                examples, chunksize=max(16, len(examples) // (8 * workers))))
     if workers > 1 and len(examples) >= 4 * workers and not _jax_backend_live():
         from multiprocessing import get_context
         with get_context("fork").Pool(

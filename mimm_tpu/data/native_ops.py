@@ -32,6 +32,7 @@ _D = ctypes.POINTER(ctypes.c_double)
 _F = ctypes.POINTER(ctypes.c_float)
 _U8 = ctypes.POINTER(ctypes.c_uint8)
 _U16 = ctypes.POINTER(ctypes.c_uint16)
+_I32 = ctypes.POINTER(ctypes.c_int32)
 _I64 = ctypes.c_int64
 
 
@@ -95,8 +96,10 @@ def get_lib():
         except OSError as e:
             logger.warning("could not load %s: %s", _LIB_PATH, e)
             return None
-        if not hasattr(lib, "affine_crop_raw_u8"):
-            # Stale .so from before the raw-transfer symbols — rebuild once.
+        if not (hasattr(lib, "affine_crop_raw_u8")
+                and hasattr(lib, "mimm_wp_create")):
+            # Stale .so from before the raw-transfer/wordpiece symbols —
+            # rebuild once.
             # NOTE: dlopen caches by path, so re-CDLL'ing the same file can
             # return the already-mapped old image; if the symbols are still
             # missing, fall back to the numpy path for this process (the
@@ -104,7 +107,8 @@ def get_lib():
             if not _build():
                 return None
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "affine_crop_raw_u8"):
+            if not (hasattr(lib, "affine_crop_raw_u8")
+                    and hasattr(lib, "mimm_wp_create")):
                 logger.warning("rebuilt %s but this process still maps the "
                                "old image; using numpy host ops", _LIB_PATH)
                 return None
@@ -116,6 +120,12 @@ def get_lib():
         lib.affine_crop_raw_u16.argtypes = [_U16, _I64, _I64, _D, _I64, _I64, _I64, _U16]
         lib.center_crop_raw_u8.argtypes = [_U8, _I64, _I64, _I64, _I64, _I64, _U8]
         lib.center_crop_raw_u16.argtypes = [_U16, _I64, _I64, _I64, _I64, _I64, _U16]
+        lib.mimm_wp_create.restype = ctypes.c_void_p
+        lib.mimm_wp_create.argtypes = [ctypes.c_char_p]
+        lib.mimm_wp_destroy.argtypes = [ctypes.c_void_p]
+        lib.mimm_wp_encode.restype = _I64
+        lib.mimm_wp_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, _I64,
+                                       ctypes.c_int, _I32, _I64]
         _lib = lib
         return _lib
 
@@ -199,3 +209,37 @@ def center_crop_norm(img: np.ndarray, top: int, left: int,
     fn(ptr, img.shape[0], img.shape[1], top, left, out_size,
        out.ctypes.data_as(_F))
     return out
+
+
+def wp_create(vocab_path: str) -> Optional[int]:
+    """Load ``vocab.txt`` into a native WordPiece handle; None if the
+    native library is unavailable.  The handle is read-only after
+    creation, so concurrent ``wp_encode`` calls from many threads are
+    safe (and run GIL-free)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return lib.mimm_wp_create(os.fsencode(vocab_path)) or None
+
+
+def wp_destroy(handle: int) -> None:
+    lib = get_lib()
+    if lib is not None and handle:
+        lib.mimm_wp_destroy(handle)
+
+
+def wp_encode(handle: int, text: str, do_lower_case: bool = True
+              ) -> Optional[list]:
+    """Wordpiece ids for ``text`` (no [CLS]/[SEP]), or None when the text
+    needs the pure-Python path (non-ASCII bytes — the native encoder only
+    implements the ASCII subset of BERT basic tokenization exactly)."""
+    lib = get_lib()
+    if lib is None or not handle:
+        return None
+    data = text.encode("utf-8")
+    buf = np.empty(len(data) + 8, np.int32)
+    n = lib.mimm_wp_encode(handle, data, len(data), int(do_lower_case),
+                           buf.ctypes.data_as(_I32), buf.shape[0])
+    if n < 0:
+        return None  # -1 non-ASCII; -2 cannot happen (ids <= input bytes)
+    return buf[:n].tolist()

@@ -171,6 +171,62 @@ class WordPieceTokenizer:
     def convert_ids_to_tokens(self, ids: List[int]) -> List[str]:
         return [self.ids_to_tokens.get(i, "[UNK]") for i in ids]
 
+    def encode_wordpiece_ids(self, text: str) -> List[int]:
+        """Wordpiece ids for ``text`` WITHOUT [CLS]/[SEP] — the featurizer's
+        one-call form (the name is deliberately NOT ``encode``: transformers'
+        ``encode`` adds special tokens, and the featurizer must not confuse
+        the two when handed an HF tokenizer)."""
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
     @property
     def vocab_size(self) -> int:
         return len(self.vocab)
+
+
+class NativeWordPieceTokenizer(WordPieceTokenizer):
+    """WordPieceTokenizer whose ``encode_wordpiece_ids`` runs in the C++
+    host library (native/mimm_host.cpp mimm_wp_encode) for ASCII text —
+    GIL-free, so featurization fans out over THREADS even when a jax
+    backend is live (forking is a deadlock hazard then, see
+    features.convert_examples_to_features).  Non-ASCII texts and a missing
+    native library fall back to the exact pure-Python path; parity is
+    proven token-for-token in tests/test_native_wordpiece.py.
+
+    Use ``from_pretrained``; it degrades to the pure-Python facade
+    silently when the library cannot be built."""
+
+    def __init__(self, vocab, do_lower_case: bool = True,
+                 native_handle=None):
+        super().__init__(vocab, do_lower_case=do_lower_case)
+        self._native_handle = native_handle
+
+    @property
+    def native_gil_free(self) -> bool:
+        return self._native_handle is not None
+
+    @classmethod
+    def from_pretrained(cls, vocab_dir_or_file: str, do_lower_case: bool = True
+                        ) -> "NativeWordPieceTokenizer":
+        from mimm_tpu.data import native_ops
+        path = vocab_dir_or_file
+        if os.path.isdir(path):
+            path = os.path.join(path, "vocab.txt")
+        return cls(load_vocab(path), do_lower_case=do_lower_case,
+                   native_handle=native_ops.wp_create(path))
+
+    def encode_wordpiece_ids(self, text: str) -> List[int]:
+        if self._native_handle is not None:
+            from mimm_tpu.data import native_ops
+            ids = native_ops.wp_encode(self._native_handle, text,
+                                       self.basic.do_lower_case)
+            if ids is not None:
+                return ids
+        return super().encode_wordpiece_ids(text)
+
+    # The handle is a raw C pointer: valid across fork (the pool's start
+    # method), garbage in a spawn/pickle round-trip — drop it there and let
+    # the unpickled copy run the pure-Python path.
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_native_handle"] = None
+        return state

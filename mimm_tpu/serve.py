@@ -215,7 +215,7 @@ class InferenceSession:
         # vocab_dir (the bert_pretrained_dir layout — vocab.txt inside)
         self._tokenizer = None
         if vocab_dir is not None:
-            from mimm_tpu.data.tokenizer import WordPieceTokenizer
+            from mimm_tpu.data.tokenizer import NativeWordPieceTokenizer as WordPieceTokenizer
             self._tokenizer = WordPieceTokenizer.from_pretrained(vocab_dir)
         cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self._quant = weight_dtype == "int8"

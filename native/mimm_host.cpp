@@ -189,3 +189,166 @@ void center_crop_raw_u16(const uint16_t* img, int64_t h, int64_t w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native WordPiece encoder (ASCII fast path).
+//
+// The reference tokenizes 200k reports with a Pool(cpu_count()-1) of Python
+// workers (model_utils.py:539-543); our pure-Python WordPiece
+// (mimm_tpu/data/tokenizer.py) must additionally fall back to SERIAL once a
+// jax backend exists in the process (fork hazard).  This encoder implements
+// the exact BERT basic+wordpiece algorithm for ASCII input in C++ — clinical
+// MIMIC-CXR reports are ASCII — and REFUSES (returns -1) on any byte >= 0x80
+// so the Python implementation, which carries the full Unicode semantics
+// (NFD accent stripping, category lookups), handles those texts instead.
+// Parity is proven token-for-token against the Python path in
+// tests/test_native_wordpiece.py.  Calls release the GIL via ctypes, so
+// featurization can fan out over THREADS even with a live jax backend.
+
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct WpVocab {
+  std::unordered_map<std::string, int32_t> map;
+  int32_t unk_id = 0;
+};
+
+inline bool wp_is_ascii_punct(unsigned char c) {
+  // tokenizer.py _is_punctuation: the four ASCII ranges (category-P chars
+  // outside them are all non-ASCII, and the ranges also include $+<=>^`|~
+  // by the same treat-all-symbols-as-punctuation rule).
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+const char* kNeverSplit[] = {"[UNK]", "[SEP]", "[PAD]", "[CLS]", "[MASK]"};
+
+// Greedy longest-match-first wordpiece over one whitespace/punct-free word.
+// Appends ids to `out`; a word with no full tiling becomes one [UNK]
+// (tokenizer.py WordpieceTokenizer.tokenize).
+void wp_wordpiece(const WpVocab& v, const std::string& word,
+                  std::vector<int32_t>& out) {
+  if (word.size() > 100) {  // max_input_chars_per_word
+    out.push_back(v.unk_id);
+    return;
+  }
+  std::vector<int32_t> sub;
+  size_t start = 0;
+  std::string key;
+  while (start < word.size()) {
+    size_t end = word.size();
+    bool found = false;
+    while (start < end) {
+      key.clear();
+      if (start > 0) key = "##";
+      key.append(word, start, end - start);
+      auto it = v.map.find(key);
+      if (it != v.map.end()) {
+        sub.push_back(it->second);
+        found = true;
+        break;
+      }
+      --end;
+    }
+    if (!found) {
+      out.push_back(v.unk_id);
+      return;
+    }
+    start = end;
+  }
+  out.insert(out.end(), sub.begin(), sub.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load vocab.txt (one token per line; only trailing '\n' stripped, matching
+// tokenizer.py load_vocab's rstrip("\n"); duplicate tokens keep the LAST
+// index, like dict assignment).  Returns an opaque handle or null.
+void* mimm_wp_create(const char* vocab_path) {
+  FILE* f = fopen(vocab_path, "rb");
+  if (!f) return nullptr;
+  WpVocab* v = new WpVocab();
+  std::string line;
+  int32_t idx = 0;
+  int c;
+  bool pending = false;
+  while ((c = fgetc(f)) != EOF) {
+    if (c == '\n') {
+      v->map[line] = idx++;
+      line.clear();
+      pending = false;
+    } else {
+      line.push_back(static_cast<char>(c));
+      pending = true;
+    }
+  }
+  if (pending) v->map[line] = idx++;
+  fclose(f);
+  auto it = v->map.find("[UNK]");
+  v->unk_id = (it != v->map.end()) ? it->second : 0;
+  return v;
+}
+
+void mimm_wp_destroy(void* handle) { delete static_cast<WpVocab*>(handle); }
+
+// Encode UTF-8 text -> wordpiece ids (no [CLS]/[SEP]).  Returns the number
+// of ids written, -1 if the text needs the Python path (any non-ASCII
+// byte), or -2 if `max_out` is too small.  Thread-safe (vocab is
+// read-only after create).
+int64_t mimm_wp_encode(const void* handle, const char* text, int64_t n,
+                       int do_lower_case, int32_t* out_ids, int64_t max_out) {
+  const WpVocab& v = *static_cast<const WpVocab*>(handle);
+  for (int64_t i = 0; i < n; ++i) {
+    if (static_cast<unsigned char>(text[i]) >= 0x80) return -1;
+  }
+  std::vector<int32_t> ids;
+  ids.reserve(static_cast<size_t>(n) / 4 + 8);
+  std::string word, piece;
+  for (int64_t i = 0; i <= n; ++i) {
+    unsigned char c = (i < n) ? static_cast<unsigned char>(text[i]) : ' ';
+    // _clean_text: drop NUL and control chars (ASCII Cc = 0x01-0x1F minus
+    // \t\n\r, plus 0x7F); whitespace (incl. \t\n\r) is a word boundary.
+    if (c == 0 || c == 0x7F || (c < 0x20 && c != '\t' && c != '\n' && c != '\r'))
+      continue;
+    if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+      if (word.empty()) continue;
+      bool never = false;
+      for (const char* t : kNeverSplit)
+        if (word == t) { never = true; break; }
+      if (never) {
+        wp_wordpiece(v, word, ids);
+      } else {
+        if (do_lower_case) {
+          for (char& ch : word)
+            if (ch >= 'A' && ch <= 'Z') ch += 'a' - 'A';
+          // NFD accent stripping is a no-op on ASCII.
+        }
+        piece.clear();
+        for (char ch : word) {
+          if (wp_is_ascii_punct(static_cast<unsigned char>(ch))) {
+            if (!piece.empty()) wp_wordpiece(v, piece, ids);
+            piece.assign(1, ch);
+            wp_wordpiece(v, piece, ids);
+            piece.clear();
+          } else {
+            piece.push_back(ch);
+          }
+        }
+        if (!piece.empty()) wp_wordpiece(v, piece, ids);
+      }
+      word.clear();
+    } else {
+      word.push_back(static_cast<char>(c));
+    }
+  }
+  if (static_cast<int64_t>(ids.size()) > max_out) return -2;
+  for (size_t i = 0; i < ids.size(); ++i) out_ids[i] = ids[i];
+  return static_cast<int64_t>(ids.size());
+}
+
+}  // extern "C"

@@ -70,7 +70,7 @@ def main():
 
     from mimm_tpu.data.features import load_and_cache_examples
     from mimm_tpu.data.pipeline import CXRImageReportDataset
-    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+    from mimm_tpu.data.tokenizer import NativeWordPieceTokenizer as WordPieceTokenizer
 
     tokenizer = WordPieceTokenizer.from_pretrained(args.vocab_dir)
     feats = load_and_cache_examples(args.text_dir, args.max_seq_length,

@@ -63,7 +63,7 @@ def main():
     from mimm_tpu.config import DatasetConfig, TrainingConfig
     from mimm_tpu.data import etl
     from mimm_tpu.data.features import load_and_cache_examples
-    from mimm_tpu.data.tokenizer import WordPieceTokenizer
+    from mimm_tpu.data.tokenizer import NativeWordPieceTokenizer as WordPieceTokenizer
 
     wd = args.workdir
     shutil.rmtree(wd, ignore_errors=True)
