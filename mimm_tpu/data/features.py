@@ -157,11 +157,19 @@ def convert_examples_to_features(examples: Sequence[InputExample],
     if (workers > 1 and len(examples) >= 4 * workers
             and getattr(tokenizer, "native_gil_free", False)):
         from concurrent.futures import ThreadPoolExecutor
+        # NOTE: ThreadPoolExecutor.map ignores chunksize (it only applies to
+        # ProcessPoolExecutor), so chunk manually — per-item dispatch through
+        # the executor queue costs more than the native encode itself.
+        chunk = max(16, len(examples) // (8 * workers))
+        chunks = [examples[i:i + chunk] for i in range(0, len(examples), chunk)]
         with ThreadPoolExecutor(workers) as pool:
-            return list(pool.map(
-                lambda e: convert_example_to_feature(
-                    e, label_map, max_seq_length, tokenizer),
-                examples, chunksize=max(16, len(examples) // (8 * workers))))
+            out = []
+            for part in pool.map(
+                    lambda es: [convert_example_to_feature(
+                        e, label_map, max_seq_length, tokenizer) for e in es],
+                    chunks):
+                out.extend(part)
+            return out
     if workers > 1 and len(examples) >= 4 * workers and not _jax_backend_live():
         from multiprocessing import get_context
         with get_context("fork").Pool(

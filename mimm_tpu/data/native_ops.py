@@ -40,9 +40,11 @@ _MARKER_PATH = _LIB_PATH + ".buildhost"
 
 
 def _host_isa_id() -> str:
-    """Fingerprint of this host's ISA: the .so is compiled -march=native,
-    so a binary copied/synced from a different CPU could SIGILL mid-
-    training (uncatchable) — get_lib rebuilds on fingerprint mismatch."""
+    """Fingerprint of this host's ISA and the C++ source: the .so is
+    compiled -march=native, so a binary copied/synced from a different CPU
+    could SIGILL mid-training (uncatchable), and a stale .so built from
+    older source would silently miss fixes — get_lib rebuilds on either
+    mismatch."""
     import hashlib
     import platform
     flags = ""
@@ -54,7 +56,14 @@ def _host_isa_id() -> str:
                     break
     except OSError:
         pass
-    return hashlib.md5(f"{platform.machine()}|{flags}".encode()).hexdigest()
+    src_digest = ""
+    try:
+        with open(os.path.join(_NATIVE_DIR, "mimm_host.cpp"), "rb") as f:
+            src_digest = hashlib.md5(f.read()).hexdigest()
+    except OSError:
+        pass
+    return hashlib.md5(
+        f"{platform.machine()}|{flags}|{src_digest}".encode()).hexdigest()
 
 
 def _build() -> bool:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import collections
 import os
 import unicodedata
+import weakref
 from typing import Dict, List, Optional
 
 
@@ -199,6 +200,14 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
                  native_handle=None):
         super().__init__(vocab, do_lower_case=do_lower_case)
         self._native_handle = native_handle
+        if native_handle is not None:
+            from mimm_tpu.data import native_ops
+            # Release the C++ vocab map when this tokenizer is collected
+            # (weakref.finalize is interpreter-shutdown-safe: at shutdown
+            # unrun finalizers are called while modules still exist, and
+            # we capture the destroy function itself, not the module).
+            self._finalizer = weakref.finalize(
+                self, native_ops.wp_destroy, native_handle)
 
     @property
     def native_gil_free(self) -> bool:
@@ -229,4 +238,5 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_native_handle"] = None
+        state.pop("_finalizer", None)  # finalizers are not picklable
         return state

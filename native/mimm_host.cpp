@@ -278,6 +278,14 @@ void* mimm_wp_create(const char* vocab_path) {
   int c;
   bool pending = false;
   while ((c = fgetc(f)) != EOF) {
+    // Universal-newline line splitting ('\n', '\r\n', lone '\r'), matching
+    // Python's text-mode load_vocab (data/tokenizer.py) so CRLF vocab files
+    // produce identical keys/indices on both paths.
+    if (c == '\r') {
+      int next = fgetc(f);
+      if (next != '\n' && next != EOF) ungetc(next, f);
+      c = '\n';
+    }
     if (c == '\n') {
       v->map[line] = idx++;
       line.clear();
