@@ -56,12 +56,38 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC = 18.0  # BASELINE.md (derived from epoch logs)
 BATCH = 64
 # report-length mix measured on the fixture corpus (see module docstring;
-# tools/derive_buckets.py recomputes it from any TSV corpus)
+# tools/derive_buckets.py recomputes it from any TSV corpus).  Keys must
+# equal config.PRODUCTION_SEQ_BUCKETS (pinned by tests/test_presets.py).
 BUCKET_MIX = {64: 0.327, 96: 0.391, 128: 0.182, 192: 0.082, 320: 0.018}
-# production cfg.scan_steps (env override for A/B probes only)
+# env override for A/B probes only; the default IS the production preset's
 SCAN_STEPS = int(os.environ.get("MIMM_BENCH_SCAN_STEPS", "8"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 20
+
+
+def conservative_mix(mix):
+    """Bucket mix shifted ONE bucket up (each length class pays the next-
+    larger bucket's cost; the largest absorbs the tail): bounds the headline
+    against a real corpus whose report-length histogram skews longer than
+    the fixture corpus the shares were measured on."""
+    buckets = sorted(mix)
+    shifted = {b: 0.0 for b in buckets}
+    for i, b in enumerate(buckets):
+        shifted[buckets[min(i + 1, len(buckets) - 1)]] += mix[b]
+    return shifted
+
+
+def build_config(on_tpu: bool):
+    """bench.py measures EXACTLY TrainingConfig.production() (pinned by
+    tests/test_presets.py); the only divergences are device-capability
+    fallbacks for dev runs off-TPU and the env-var scan_steps A/B hook."""
+    from mimm_tpu.config import TrainingConfig
+    cfg = TrainingConfig.production(batch_size=BATCH, mi_estimator="dv")
+    if cfg.scan_steps != SCAN_STEPS:
+        cfg = cfg.replace(scan_steps=SCAN_STEPS)
+    if not on_tpu:  # Pallas/Mosaic kernels need the real chip
+        cfg = cfg.replace(use_pallas_critic=False, flash_attention=False)
+    return cfg
 
 
 def main():
@@ -74,25 +100,23 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from mimm_tpu.config import TrainingConfig
     from mimm_tpu.models.bert import BertConfig
     from mimm_tpu.models.joint import ImageReportModel
     from mimm_tpu.train.mi import (create_mi_state, make_mi_multi_step,
                                    make_mi_train_step, make_optimizers)
 
     on_tpu = jax.default_backend() == "tpu"
-    # pallas_stem OFF: in the full production step the stem choice is
-    # measured NEUTRAL (1633.9 vs 1634.0 pairs/s, per-bucket ms equal to
-    # 0.1), and the isolated scan-chained tower probe favors the XLA stem
-    # (7.16 vs 9.23 ms) — the earlier "stem kernel wins" came from
-    # single-dispatch tunnel-latency noise (tools/bench_image_tower.py).
-    cfg = TrainingConfig().replace(
-        batch_size=BATCH, compute_dtype="bfloat16", mi_estimator="dv",
-        use_pallas_critic=on_tpu, gelu_tanh=True,
-        adamw_moment_dtype="bfloat16",
-        scan_steps=SCAN_STEPS, seq_buckets=tuple(BUCKET_MIX))
+    # pallas_stem OFF in the production preset: in the full production step
+    # the stem choice is measured NEUTRAL (1633.9 vs 1634.0 pairs/s), and
+    # the isolated scan-chained tower probe favors the XLA stem (7.16 vs
+    # 9.23 ms) — the earlier "stem kernel wins" came from single-dispatch
+    # tunnel-latency noise (tools/bench_image_tower.py).
+    cfg = build_config(on_tpu)
+    assert set(BUCKET_MIX) == set(cfg.seq_buckets), \
+        "BUCKET_MIX must cover the production seq_buckets"
     bert_cfg = BertConfig(num_classes=cfg.output_channels,
-                          flash_attention=on_tpu, gelu_tanh=True)
+                          flash_attention=cfg.flash_attention,
+                          gelu_tanh=cfg.gelu_tanh)
     model = ImageReportModel(bert_config=bert_cfg,
                              output_channels=cfg.output_channels,
                              dtype=jnp.bfloat16)
@@ -160,12 +184,18 @@ def main():
 
     weighted = sum(BUCKET_MIX[s] * scan_ms[s] for s in BUCKET_MIX)
     pairs_per_sec = BATCH / weighted
+    # robustness bound: the same per-bucket timings under a mix shifted one
+    # bucket LONGER — if a real corpus skews longer than the fixture
+    # histogram, the headline degrades at most to about this number
+    shifted = conservative_mix(BUCKET_MIX)
+    conservative = BATCH / sum(shifted[s] * scan_ms[s] for s in shifted)
     print(json.dumps({
         "metric": "mi_train_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
         "padded_seq320_pairs_per_sec": round(BATCH / padded_ms, 2),
+        "conservative_mix_pairs_per_sec": round(conservative, 2),
         "per_bucket_ms": {str(s): round(t * 1e3, 1)
                           for s, t in scan_ms.items()},
     }))

@@ -257,6 +257,20 @@ class TrainingConfig:
     # Under tensor parallelism the text tower/critic keep TP layouts.
     # Honored by the MI and AE trainers.  No reference counterpart.
     fsdp_parameter_sharding: bool = False
+    # Gradient all-reduce dtype for data-parallel MI training: 'float32'
+    # (default; the implicit GSPMD collective) or 'bfloat16' — the step's
+    # gradient computation runs under an explicit shard_map over 'data'
+    # and the cross-chip parameter-gradient all-reduce (the dominant pod
+    # collective: ~468 MB f32/step for bert-base+ResNet+critic, ROUND2.md
+    # cost model) runs on bf16 values, halving its bytes.  Same math up
+    # to bf16 rounding of the gradient SUM (the update itself stays f32);
+    # trajectory equivalence band-tested on the CPU mesh
+    # (tests/test_sharding.py).  Image-tower BatchNorm runs as explicit
+    # sync-BN (axis_name) so batch statistics stay global — identical to
+    # the GSPMD step's implicit semantics.  Engages only on a pure-DP
+    # mesh (no 'model'/'pipe' axis, no zero1/fsdp/grad-cache, global
+    # negatives); other combos log a warning and keep f32.
+    grad_allreduce_dtype: str = "float32"
     # Resume source for the MI/AE trainers: "" (fresh run), a path to a
     # native checkpoint (mi_epoch<N>.ckpt / ae_epoch<N>.ckpt /
     # *_preempt.ckpt — restores params + optimizer states + step and
@@ -282,6 +296,56 @@ class TrainingConfig:
     def replace(self, **kw) -> "TrainingConfig":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def production(cls, **overrides) -> "TrainingConfig":
+        """THE production configuration — the single source of truth for
+        what bench.py measures, what the Managers' docs describe, and what
+        MIGRATION.md tells reference users to run (``--preset production``).
+
+        Numeric approximations it enables are disclosed in bench.py's
+        docstring (bf16 compute, tanh GELU, bf16 optimizer moments);
+        parity/golden tests all run the exact forms via ``parity()``."""
+        return cls(**{**_PRODUCTION_OVERRIDES, **overrides})
+
+    @classmethod
+    def parity(cls, **overrides) -> "TrainingConfig":
+        """Reference-parity configuration: exact erf GELU, f32 compute and
+        optimizer moments, no bucketing/scan reordering, every report
+        padded to max_seq_length (reference main_utils.py:120) — the
+        numerics the torch-oracle trajectory goldens certify."""
+        return cls(**{**_PARITY_OVERRIDES, **overrides})
+
+
+# The production sequence buckets (paired-loader length classes).  bench.py's
+# BUCKET_MIX keys must match these (tests/test_presets.py pins them together);
+# tools/derive_buckets.py re-derives both for a new corpus.
+PRODUCTION_SEQ_BUCKETS = (64, 96, 128, 192, 320)
+
+# Single source of truth for the two named presets (TrainingConfig.production
+# / .parity, CLI --preset).  Defaults not listed here are shared.
+_PRODUCTION_OVERRIDES = dict(
+    compute_dtype="bfloat16",
+    gelu_tanh=True,                 # <=1e-3 abs GELU deviation, disclosed
+    adamw_moment_dtype="bfloat16",  # update math stays f32
+    seq_buckets=PRODUCTION_SEQ_BUCKETS,
+    scan_steps=8,                   # multi-step dispatch (neutral >=8)
+    use_pallas_critic=True,
+    flash_attention=True,           # engages at L >= flash_min_seq_len
+    compact_transfer=True,
+    rng_impl="unsafe_rbg",          # TPU hardware PRNG for dropout masks
+)
+_PARITY_OVERRIDES = dict(
+    compute_dtype="float32",
+    gelu_tanh=False,                # exact erf GELU
+    adamw_moment_dtype="float32",
+    seq_buckets=(),                 # reference: pad everything to 320
+    scan_steps=1,
+    use_pallas_critic=False,
+    flash_attention=False,
+    compact_transfer=False,
+    rng_impl="threefry2x32",
+)
+
 
 def _parse_mesh_shape(s: str) -> tuple:
     """``"data=4,model=2"`` -> (("data", 4), ("model", 2)).  Axis order is
@@ -304,38 +368,54 @@ def _parse_mesh_shape(s: str) -> tuple:
 
 
 def _add_fields(parser: argparse.ArgumentParser, cfg) -> None:
+    # default=SUPPRESS: the namespace holds ONLY flags the user actually
+    # passed, so explicit flags override a --preset while everything else
+    # takes the preset's values (help still shows the dataclass default).
     for f in dataclasses.fields(cfg):
+        default = getattr(cfg, f.name)
         if f.name in ("mesh_shape", "dcn_mesh_shape"):
             parser.add_argument(f"--{f.name}", type=_parse_mesh_shape,
-                                default=getattr(cfg, f.name))
+                                default=argparse.SUPPRESS,
+                                help=f"(default: {default!r})")
             continue
-        arg_type = type(getattr(cfg, f.name))
+        arg_type = type(default)
         if arg_type is bool:
-            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=getattr(cfg, f.name))
+            parser.add_argument(f"--{f.name}",
+                                type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=argparse.SUPPRESS,
+                                help=f"(default: {default!r})")
         elif arg_type is tuple:
             # comma-separated ints, e.g. --seq_buckets 64,128,192,320
             parser.add_argument(
                 f"--{f.name}",
                 type=lambda s: tuple(int(x) for x in s.split(",") if x.strip()),
-                default=getattr(cfg, f.name))
+                default=argparse.SUPPRESS, help=f"(default: {default!r})")
         else:
-            parser.add_argument(f"--{f.name}", type=arg_type, default=getattr(cfg, f.name))
+            parser.add_argument(f"--{f.name}", type=arg_type,
+                                default=argparse.SUPPRESS,
+                                help=f"(default: {default!r})")
 
 
 def construct_training_parameters(argv: Optional[Sequence[str]] = None) -> TrainingConfig:
-    """CLI-compatible with reference helpers.py:84-144."""
-    cfg = TrainingConfig()
+    """CLI-compatible with reference helpers.py:84-144, plus ``--preset
+    {production,parity}``: start from the named preset, then apply any
+    explicitly-passed flags on top."""
     parser = argparse.ArgumentParser()
-    _add_fields(parser, cfg)
-    ns = parser.parse_args(argv)
-    return TrainingConfig(**{k: v for k, v in vars(ns).items()})
+    parser.add_argument("--preset", choices=("production", "parity"),
+                        default="",
+                        help="named base config (TrainingConfig.production/"
+                             ".parity); explicit flags override it")
+    _add_fields(parser, TrainingConfig())
+    ns = vars(parser.parse_args(argv))
+    preset = ns.pop("preset", "")
+    base = {"production": TrainingConfig.production,
+            "parity": TrainingConfig.parity}.get(preset, TrainingConfig)()
+    return base.replace(**ns)
 
 
 def construct_dataset_parameters(argv: Optional[Sequence[str]] = None) -> DatasetConfig:
     """CLI-compatible with reference helpers.py:7-82."""
-    cfg = DatasetConfig()
     parser = argparse.ArgumentParser()
-    _add_fields(parser, cfg)
+    _add_fields(parser, DatasetConfig())
     ns = parser.parse_args(argv)
-    return DatasetConfig(**{k: v for k, v in vars(ns).items()})
+    return dataclasses.replace(DatasetConfig(), **vars(ns))

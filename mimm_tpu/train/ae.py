@@ -166,8 +166,10 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
                                   img_size=cfg.img_size,
                                   compact=getattr(cfg, "compact_transfer",
                                                   False))
+    # cfg.data_loader_workers is authoritative (reference parity 32);
+    # the Loader caps at cpu_count-1 internally.
     loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
-                    num_workers=min(8, cfg.data_loader_workers),
+                    num_workers=cfg.data_loader_workers,
                     process_count=jax.process_count(),
                     process_index=jax.process_index())
     logger.info("Total number of training images %d", len(dataset))

@@ -24,6 +24,11 @@ TPU-native:
   XLA all-gather over ICI automatically (cfg.global_negatives);
 * bfloat16 encoder compute, float32 loss/optimizer state;
 * deterministic dropout keyed on (seed, step).
+
+Configuration: run with ``TrainingConfig.production()`` (CLI
+``--preset production``) for the benched production configuration —
+bench.py measures exactly that preset — or ``TrainingConfig.parity()``
+for exact reference numerics (config.py is the single source of truth).
 """
 
 from __future__ import annotations
@@ -359,6 +364,105 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
         joint_g, critic_g = grads
         return finish_step(state, loss, joint_g, critic_g, new_bs)
 
+    # ---- cfg.grad_allreduce_dtype: explicit shard_map gradient path ----
+    # The plain jit step leaves the cross-chip gradient all-reduce to
+    # GSPMD, which runs it at the gradient dtype (f32).  For pods that
+    # collective dominates (~468 MB/step f32 for bert-base+ResNet+critic);
+    # this path computes per-shard gradients under shard_map and performs
+    # the all-reduce EXPLICITLY on bf16-cast values — half the bytes, same
+    # math up to bf16 rounding of the sum.  BatchNorm runs as explicit
+    # sync-BN (bn_axis_name) to reproduce the GSPMD step's implicit
+    # global-batch statistics; dropout keys fold in the shard index (mask
+    # PLACEMENT differs from the GSPMD step's single global mask — same
+    # distribution; equivalence tests run dropout-off).
+    gad = getattr(cfg, "grad_allreduce_dtype", "float32")
+    data_size = dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1) \
+        if mesh is not None else 1
+    if gad not in ("float32", ""):
+        supported = (gad == "bfloat16" and data_size > 1 and not tp_mesh
+                     and not use_pp and not zero1 and not fsdp
+                     and grad_cache == 1 and local_blocks == 1
+                     and getattr(cfg, "sequence_parallel", False) is False)
+        if not supported:
+            logger.warning(
+                "grad_allreduce_dtype=%s requested but unsupported with "
+                "this mesh/knob combination (needs a pure-DP 'data' mesh, "
+                "global negatives, no zero1/fsdp/grad-cache/tp/pp/sp) — "
+                "keeping the float32 GSPMD collective", gad)
+        else:
+            try:
+                from jax import shard_map as _sm
+
+                def shard_map(f, **kw):  # new API renamed check_rep
+                    kw["check_vma"] = kw.pop("check_rep")
+                    return _sm(f, **kw)
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            model_bn = ImageReportModel(
+                bert_config=model.bert_config,
+                output_channels=model.output_channels, dtype=model.dtype,
+                s2d_stem=model.s2d_stem, pallas_stem=model.pallas_stem,
+                bn_axis_name=mesh_lib.DATA_AXIS)
+            gad_dtype = jnp.bfloat16
+
+            def local_loss(joint_params, critic_params, batch_stats, batch,
+                           dropout_rng):
+                batch = decompact_batch(batch)
+                outputs, mutated = model_bn.apply(
+                    {"params": joint_params, "batch_stats": batch_stats},
+                    batch["image"], batch["txt_ids"], batch["txt_masks"],
+                    batch["txt_segments"], train=True,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+                ei = jax.lax.all_gather(outputs[0], mesh_lib.DATA_AXIS,
+                                        axis=0, tiled=True)
+                et = jax.lax.all_gather(outputs[1], mesh_lib.DATA_AXIS,
+                                        axis=0, tiled=True)
+                sids = jax.lax.all_gather(batch["study_id"],
+                                          mesh_lib.DATA_AXIS, axis=0,
+                                          tiled=True)
+                loss = bound_fn(score_fn(critic_params, ei, et), sids)
+                return loss, mutated["batch_stats"]
+
+            def grad_shard(joint_params, critic_params, batch_stats, batch,
+                           dropout_rng):
+                rng = jax.random.fold_in(
+                    dropout_rng, jax.lax.axis_index(mesh_lib.DATA_AXIS))
+                (loss, new_bs), (jg, cg) = jax.value_and_grad(
+                    local_loss, argnums=(0, 1), has_aux=True)(
+                    joint_params, critic_params, batch_stats, batch, rng)
+                # tower grads: each shard holds its local-batch contribution
+                # (the all_gather transposes to a cotangent slice) — THE
+                # all-reduce, in bf16
+                jg = jax.tree.map(
+                    lambda g: jax.lax.psum(g.astype(gad_dtype),
+                                           mesh_lib.DATA_AXIS).astype(g.dtype),
+                    jg)
+                # critic grads: every shard computed the FULL gradient (the
+                # whole (B, B) bound is replicated work) — bf16 pmean keeps
+                # the collective small and the magnitude right
+                cg = jax.tree.map(
+                    lambda g: (jax.lax.psum(g.astype(gad_dtype),
+                                            mesh_lib.DATA_AXIS)
+                               / data_size).astype(g.dtype),
+                    cg)
+                return loss, new_bs, jg, cg
+
+            from jax.sharding import PartitionSpec as P
+            sharded_grads = shard_map(
+                grad_shard, mesh=mesh,
+                in_specs=(P(), P(), P(), P(mesh_lib.DATA_AXIS), P()),
+                out_specs=(P(), P(), P(), P()), check_rep=False)
+
+            def gad_body(state: MITrainState, batch):
+                base_key = jax.random.key(
+                    cfg.seed, impl=getattr(cfg, "rng_impl", "threefry2x32"))
+                dropout_rng = jax.random.fold_in(base_key, state.step)
+                loss, new_bs, joint_g, critic_g = sharded_grads(
+                    state.params, state.critic_params, state.batch_stats,
+                    batch, dropout_rng)
+                return finish_step(state, loss, joint_g, critic_g, new_bs)
+            return gad_body
+
     def grad_cache_body(state: MITrainState, batch):
         """GradCache two-pass step (Gao et al. 2021, "Scaling Deep
         Contrastive Learning Batch Size under Memory Limited Setup"):
@@ -571,9 +675,12 @@ class MultiModalManager:
                 "bucket so longer reports keep their full tokens",
                 max(buckets), cfg.max_seq_length, cfg.max_seq_length)
             buckets.append(cfg.max_seq_length)
+        # cfg.data_loader_workers is authoritative (reference
+        # DataLoader(num_workers=32) parity, helpers.py:113); the Loader
+        # itself caps at cpu_count-1 so small hosts never oversubscribe.
         loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                         bucket_lengths=buckets,
-                        num_workers=min(8, cfg.data_loader_workers),
+                        num_workers=cfg.data_loader_workers,
                         # multi-host (after mesh.initialize_distributed):
                         # each process decodes its slice of the global batch
                         process_count=jax.process_count(),
