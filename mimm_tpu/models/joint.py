@@ -35,12 +35,19 @@ class ImageReportModel(nn.Module):
     # (parallel/mesh.py seq_sharding); None = no constraint.  Execution
     # knob only — params/checkpoints are identical either way.
     sp_sharding: Any = None
+    # Cross-replica sync-BN axis for the image tower's BatchNorms: set to
+    # the mesh 'data' axis when the step runs under shard_map (the
+    # grad_allreduce_dtype path) so batch statistics stay GLOBAL-batch —
+    # the same semantics the plain GSPMD step computes implicitly.
+    # Params/checkpoints identical either way.
+    bn_axis_name: Any = None
 
     def setup(self):
         self.image_model = ResNet256_6_2_1(output_channels=self.output_channels,
                                            dtype=self.dtype,
                                            s2d_stem=self.s2d_stem,
-                                           pallas_stem=self.pallas_stem)
+                                           pallas_stem=self.pallas_stem,
+                                           bn_axis_name=self.bn_axis_name)
         self.text_model = TextBert(self.bert_config, dtype=self.dtype,
                                    sp_sharding=self.sp_sharding)
 

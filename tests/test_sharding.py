@@ -117,6 +117,81 @@ def test_local_negatives_block_mode():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_grad_allreduce_bf16_matches_f32_step():
+    """cfg.grad_allreduce_dtype='bfloat16': the explicit shard_map gradient
+    path (bf16 psum of tower grads, sync-BN batch statistics) must track
+    the plain GSPMD f32 step — equal loss at step 1 (identical forward;
+    the cast only touches gradients) and a tight band at step 2 (params
+    now differ by bf16 rounding of the gradient sum only)."""
+    bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=32, num_classes=1,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    base = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0)
+    model = build_joint_model(base, bert)
+    txs = make_optimizers(base, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+    mesh4 = mesh_lib.make_mesh({"data": 4})
+
+    s_ref = mesh_lib.replicate(
+        mesh4, create_mi_state(model, base, txs, jax.random.PRNGKey(0)))
+    b4 = mesh_lib.shard_batch(mesh4, batch)
+    step_ref = make_mi_train_step(model, txs, base, mesh=mesh4)
+    s_ref, loss_ref1 = step_ref(s_ref, b4)
+    s_ref, loss_ref2 = step_ref(s_ref, b4)
+
+    gad = base.replace(grad_allreduce_dtype="bfloat16")
+    s_gad = mesh_lib.replicate(
+        mesh4, create_mi_state(model, gad, txs, jax.random.PRNGKey(0)))
+    step_gad = make_mi_train_step(model, txs, gad, mesh=mesh4)
+    s_gad, loss_gad1 = step_gad(s_gad, b4)
+    s_gad, loss_gad2 = step_gad(s_gad, b4)
+
+    np.testing.assert_allclose(float(loss_gad1), float(loss_ref1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_gad2), float(loss_ref2),
+                               rtol=2e-3, atol=1e-4)
+    # BN running stats must be the GLOBAL-batch statistics on both paths
+    bs_ref = jax.device_get(s_ref.batch_stats)
+    bs_gad = jax.device_get(s_gad.batch_stats)
+    m_ref = np.asarray(bs_ref["image_model"]["bn1"]["mean"])
+    m_gad = np.asarray(bs_gad["image_model"]["bn1"]["mean"])
+    np.testing.assert_allclose(m_gad, m_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_grad_allreduce_bf16_unsupported_combo_falls_back():
+    """With a tensor-parallel mesh the knob must warn and keep the plain
+    GSPMD step (identical losses to grad_allreduce_dtype='float32')."""
+    bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=32, num_classes=1,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    base = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0)
+    model = build_joint_model(base, bert)
+    txs = make_optimizers(base, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+    mesh = mesh_lib.make_mesh({"data": 2, "model": 2})
+
+    losses = {}
+    for name, cfg in (("f32", base),
+                      ("bf16", base.replace(grad_allreduce_dtype="bfloat16"))):
+        st = mesh_lib.shard_mi_state(
+            mesh, create_mi_state(model, cfg, txs, jax.random.PRNGKey(0)))
+        b = mesh_lib.shard_batch(mesh, batch)
+        step = make_mi_train_step(model, txs, cfg, mesh=mesh)
+        st, l1 = step(st, b)
+        _, l2 = step(st, b)
+        losses[name] = (float(l1), float(l2))
+    np.testing.assert_allclose(losses["bf16"], losses["f32"],
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_shard_map_all_gather_negatives_production_shapes():
     """The EXPLICIT collective path (objectives/pairing.py
     mi_loss_from_embeddings with axis_name): under shard_map over the full
