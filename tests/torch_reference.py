@@ -228,6 +228,20 @@ def main(work_dir):
     assert all("position_ids" in k for k in missing), missing
     critic = make_mlp(c["critic_in"], c["critic_hidden"])
     critic.load_state_dict(_load_sd(os.path.join(work_dir, "critic_sd.npz")))
+    if c.get("perturb_scale"):
+        # noise-band oracle run: multiplicatively perturb every weight at
+        # the given relative scale (seeded Rademacher signs).  Two torch
+        # runs — exact and perturbed-at-rounding-scale — bound how fast
+        # fp32 accumulation-order noise diverges through the chaotic
+        # low-loss DV landscape; an exact second implementation (the jax
+        # side) must stay within that divergence envelope.
+        gen = torch.Generator().manual_seed(1234)
+        with torch.no_grad():
+            for module in (resnet, bert, critic):
+                for p in module.parameters():
+                    signs = torch.randint(0, 2, p.shape, generator=gen,
+                                          dtype=p.dtype) * 2 - 1
+                    p.mul_(1 + c["perturb_scale"] * signs)
     if f64:
         # float64 golden mode: fp32 conv accumulation-order noise (oneDNN
         # vs XLA) would otherwise swamp the comparison after a few

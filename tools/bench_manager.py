@@ -35,6 +35,12 @@ Host-work modes (--host_work):
   batch on one core vs a ~15 ms device step) — production hosts have
   tens of cores; the mode documents per-sample host cost, not a device
   limit.
+* decode: the FULL production host path — cv2.imread of a real full-res
+  CXR JPEG (cycling over the 142 shipped reference images) followed by
+  the native affine-crop.  Host-bound on this box by the same
+  arithmetic; tools/bench_decode.py publishes the per-image ms and the
+  cores-needed-at-target-rate table this mode's epoch time should be
+  read against.
 
 Usage:
     python tools/bench_manager.py [--scale 2] [--epochs 3]
@@ -90,7 +96,14 @@ class SyntheticPairedCorpus:
         self.host_work = host_work
         n = sum(batches.values()) * BATCH
         p = min(n, pool)
-        if host_work == "transform":
+        if host_work == "decode":
+            import glob as _glob
+            self.pool = sorted(_glob.glob(
+                "/root/reference/full_data_set/images/*/*.jpg"))
+            if not self.pool:
+                raise SystemExit("--host_work decode needs the reference "
+                                 "fixture images")
+        elif host_work == "transform":
             src = img_size + 64  # room for the affine crop to sample from
             self.pool = rng.integers(0, 255, (p, src, src)).astype(np.uint8)
         else:
@@ -121,7 +134,15 @@ class SyntheticPairedCorpus:
     def load(self, idx, rng, train=True):
         from mimm_tpu.data import transforms
         src = self.pool[idx % len(self.pool)]
-        if self.host_work == "transform":
+        if self.host_work == "decode":
+            import cv2
+            decoded = cv2.imread(src, cv2.IMREAD_ANYDEPTH)
+            img = transforms.reference_transform(decoded, rng, self.img_size,
+                                                 train=train, raw=True)
+            if img.dtype != np.uint8:  # 16-bit sources: keep compact uint8
+                img = (img.astype(np.float32) * (255.0 / max(1, img.max()))) \
+                    .astype(np.uint8)
+        elif self.host_work == "transform":
             img = transforms.reference_transform(src, rng, self.img_size,
                                                  train=train, raw=True)
         else:
@@ -142,7 +163,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=3,
                     help=">= 3: first compiles, middle is measured, last "
                          "absorbs the mandatory final checkpoint")
-    ap.add_argument("--host_work", choices=("none", "transform"),
+    ap.add_argument("--host_work", choices=("none", "transform", "decode"),
                     default="none")
     ap.add_argument("--bench_bucket_ms", type=json.loads, default=None,
                     help='per-bucket scan ms from bench.py, e.g. '
@@ -166,18 +187,18 @@ def main():
 
     wd = args.workdir or tempfile.mkdtemp(prefix="bench_manager_")
     on_tpu = jax.default_backend() == "tpu"
-    cfg = TrainingConfig().replace(
+    cfg = TrainingConfig.production(
         save_directory=os.path.join(wd, "save"),
-        batch_size=BATCH, compute_dtype="bfloat16", mi_estimator="dv",
-        use_pallas_critic=on_tpu, gelu_tanh=True,
-        adamw_moment_dtype="bfloat16", scan_steps=SCAN_STEPS,
-        seq_buckets=tuple(sorted(BUCKET_MIX)),
+        batch_size=BATCH, mi_estimator="dv",
+        use_pallas_critic=on_tpu, flash_attention=on_tpu,
+        scan_steps=SCAN_STEPS,
         num_train_epochs=args.epochs,
         # no checkpoint inside measured epochs (the final epoch still saves)
         checkpoint_every_epochs=1_000_000,
         data_loader_workers=8 if args.host_work != "none" else 2)
     bert_cfg = BertConfig(num_classes=cfg.output_channels,
-                          flash_attention=on_tpu, gelu_tanh=True)
+                          flash_attention=cfg.flash_attention,
+                          gelu_tanh=cfg.gelu_tanh)
 
     batches = bucket_batches(args.scale)
     steps_per_epoch = sum(batches.values())

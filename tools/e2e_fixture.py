@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--disease", default="Pneumonia")
     ap.add_argument("--skip_um", action="store_true",
                     help="skip the unimodal (AE) baseline branch")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seed for params/shuffle/augment AND the train/"
+                         "test split (multi-seed MM-vs-UM stability runs)")
     args = ap.parse_args()
 
     import csv
@@ -91,7 +94,7 @@ def main():
         etl.download_full_dataset(dcfg, sub, download=False)
     os.makedirs(dcfg.training_text_dir, exist_ok=True)
     etl.populate_all_data(dcfg, ["p10", "p11", "p13"])
-    etl.populate_subset_dataset(dcfg, seed=0)
+    etl.populate_subset_dataset(dcfg, seed=args.seed)
     n_train = sum(1 for _ in open(dcfg.training_dataset_labeldata)) - 1
     print(f"      training studies: {n_train}")
 
@@ -118,7 +121,7 @@ def main():
         dataset_disease_stats=wd + "/training_data/disease_stats.csv",
         save_directory=wd + "/save",
         batch_size=8, max_seq_length=128, num_train_epochs=args.epochs,
-        seed=0)
+        seed=args.seed)
     bert_cfg = BertConfig(
         vocab_size=tokenizer.vocab_size, hidden_size=128, num_hidden_layers=2,
         num_attention_heads=2, intermediate_size=256,
@@ -194,6 +197,12 @@ def main():
 
     print(f"MM vs UM ({args.disease}): accuracy {accuracy:.4f} vs "
           f"{um_accuracy:.4f}, GDV {separability:.3e} vs {um_separability:.3e}")
+    import json as _json
+    print("E2E_RESULT " + _json.dumps({
+        "seed": args.seed, "disease": args.disease,
+        "mm_accuracy": round(float(accuracy), 4),
+        "um_accuracy": round(float(um_accuracy), 4),
+        "mm_gdv": float(separability), "um_gdv": float(um_separability)}))
     print("E2E CHAIN COMPLETE")
 
 

@@ -1,0 +1,134 @@
+"""Produce the committed 20-epoch fixture-corpus DV-curve artifact
+(VERDICT r2 item 1b): run the FULL MI pretraining chain (ETL -> tokenize
+-> 20 epochs of DV training) on the in-repo fixture corpus at
+production-like model shape (bert-base dims over the derived vocab,
+256px ResNet, L=320 reference padding, exact parity numerics) and
+commit the loss curve under artifacts/fixture_dv_epoch20/.
+
+The claim the artifact evidences: the DV training loss reproduces the
+reference's curve SHAPE — monotone, strongly negative, still falling at
+epoch 20 (reference save_dir/mm_dv_epoch20/training_MI.log:12-107 went
+-450 -> -5447 on the 200k-pair corpus).  Absolute values differ (110
+fixture pairs vs 200k; derived vocab vs clinical BERT weights — the
+real-corpus clause is environment-blocked, PARITY.md).
+
+Usage:  python tools/fixture_dv_run.py [--workdir /tmp/fixture_dv]
+            [--epochs 20] [--out artifacts/fixture_dv_epoch20]
+"""
+
+import argparse
+import csv
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/full_data_set"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/fixture_dv")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "artifacts", "fixture_dv_epoch20"))
+    args = ap.parse_args()
+
+    from e2e_fixture import build_vocab_from_corpus
+
+    from mimm_tpu.config import DatasetConfig, TrainingConfig
+    from mimm_tpu.data import etl
+    from mimm_tpu.data.features import load_and_cache_examples
+    from mimm_tpu.data.tokenizer import \
+        NativeWordPieceTokenizer as WordPieceTokenizer
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import MultiModalManager
+
+    wd = args.workdir
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd + "/text", exist_ok=True)
+
+    print("[1/3] ETL on the fixture corpus")
+    dcfg = DatasetConfig(
+        data_dir=wd + "/data/",
+        image_storage_dir=REF + "/images/",
+        text_storage_dir=wd + "/text/",
+        training_data_dir=wd + "/training_data/",
+        training_text_dir=wd + "/training_data/text/",
+        training_dataset_labeldata=wd + "/training_data/training_label_negbio.csv",
+        testing_data_dir=wd + "/testing_data/",
+        testing_text_dir=wd + "/testing_data/text/",
+        testing_dataset_labeldata=wd + "/testing_data/testing_label_negbio.csv")
+    os.makedirs(dcfg.data_dir, exist_ok=True)
+    shutil.copy(REF + "/mimic-cxr-2.0.0-negbio.csv.gz", dcfg.data_dir)
+    etl.synthesize_metadata_from_images(REF + "/images",
+                                        dcfg.data_dir + etl.META_FILENAME)
+    for sub in ("p10", "p11", "p13"):
+        shutil.copytree(REF + f"/text/{sub}", wd + f"/text/{sub}")
+        etl.download_full_dataset(dcfg, sub, download=False)
+    os.makedirs(dcfg.training_text_dir, exist_ok=True)
+    etl.populate_all_data(dcfg, ["p10", "p11", "p13"])
+    etl.populate_subset_dataset(dcfg, seed=0)
+
+    print("[2/3] tokenize (L=320 reference padding)")
+    texts = [r[-1] for r in csv.reader(
+        open(dcfg.training_text_dir + "/all_data.tsv"), delimiter="\t")]
+    bert_dir = wd + "/bert_pretrained"
+    os.makedirs(bert_dir, exist_ok=True)
+    build_vocab_from_corpus(texts, bert_dir + "/vocab.txt")
+    tokenizer = WordPieceTokenizer.from_pretrained(bert_dir)
+    feats = load_and_cache_examples(dcfg.training_text_dir, 320, tokenizer)
+
+    print(f"[3/3] MI pretraining: DV, {args.epochs} epochs, "
+          f"bert-base dims, exact parity numerics")
+    tcfg = TrainingConfig.parity().replace(
+        image_dir=REF + "/images/",
+        text_data_dir=dcfg.training_text_dir,
+        dataset_metadata=dcfg.training_dataset_labeldata,
+        save_directory=wd + "/save",
+        batch_size=args.batch_size, max_seq_length=320,
+        num_train_epochs=args.epochs, mi_estimator="dv", seed=0,
+        checkpoint_every_epochs=1_000_000)  # final epoch only
+    bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size, num_classes=1,
+                          flash_attention=False)  # bert-base dims
+    mgr = MultiModalManager(tcfg, bert_config=bert_cfg,
+                            load_pretrained_bert=False)
+    mgr.train(token_features=feats, num_epochs=args.epochs,
+              export_torch_bins=False)
+
+    # ---- collect the artifact -------------------------------------------
+    losses = []
+    for line in open(os.path.join(tcfg.save_directory, "mi.jsonl")):
+        rec = json.loads(line)
+        if "epoch_loss" in rec:
+            losses.append((rec["epoch"], rec["epoch_loss"]))
+    assert len(losses) == args.epochs, losses
+    values = [v for _, v in losses]
+    decreasing = sum(1 for a, b in zip(values, values[1:]) if b < a)
+    print(f"epoch losses: first={values[0]:.2f} last={values[-1]:.2f} "
+          f"monotone-decreasing transitions: {decreasing}/{len(values)-1}")
+
+    os.makedirs(args.out, exist_ok=True)
+    for f in ("training_MI.log", "mi.jsonl",
+              "mutual_information_training.png"):
+        shutil.copy(os.path.join(tcfg.save_directory, f),
+                    os.path.join(args.out, f))
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump({
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "pairs": len(feats), "vocab_size": tokenizer.vocab_size,
+            "model": "bert-base dims + ResNet256_6_2_1, parity numerics",
+            "epoch_losses": values,
+            "decreasing_transitions": f"{decreasing}/{len(values) - 1}",
+            "reference_curve": "save_dir/mm_dv_epoch20/training_MI.log "
+                               "-450 -> -5447 (200k pairs)",
+        }, f, indent=1)
+    print(f"artifact written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
