@@ -157,6 +157,11 @@ class TrainingConfig:
     # bf16 keeps f32's exponent range, so only mantissa precision drops;
     # the update math itself stays f32).  train/optim.py adamw_hf.
     adamw_moment_dtype: str = "float32"
+    # Same knob for the torch-parity Adam towers (image encoder + MI
+    # critic in the MI trainer; the AE trainer's single Adam): 'float32'
+    # (reference parity — optax.adam, unchanged state structure) or
+    # 'bfloat16' (production — train/optim.py adam_torch moment_dtype).
+    adam_moment_dtype: str = "float32"
     # Fused FFN Pallas kernel in the text tower (models/bert.py
     # BertConfig.fused_ffn): GEMM->GELU->GEMM with weights resident in
     # VMEM; requires gelu_tanh.  Measured slower than the XLA FFN on
@@ -327,6 +332,7 @@ _PRODUCTION_OVERRIDES = dict(
     compute_dtype="bfloat16",
     gelu_tanh=True,                 # <=1e-3 abs GELU deviation, disclosed
     adamw_moment_dtype="bfloat16",  # update math stays f32
+    adam_moment_dtype="bfloat16",
     seq_buckets=PRODUCTION_SEQ_BUCKETS,
     scan_steps=8,                   # multi-step dispatch (neutral >=8)
     use_pallas_critic=True,
@@ -338,6 +344,7 @@ _PARITY_OVERRIDES = dict(
     compute_dtype="float32",
     gelu_tanh=False,                # exact erf GELU
     adamw_moment_dtype="float32",
+    adam_moment_dtype="float32",
     seq_buckets=(),                 # reference: pad everything to 320
     scan_steps=1,
     use_pallas_critic=False,

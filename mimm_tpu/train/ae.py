@@ -54,10 +54,18 @@ def build_ae_model(cfg) -> ResNetAE:
                     bottleneck_dim=192 * 4, use_multi_res_skips=True, dtype=dtype)
 
 
+def _ae_tx(cfg):
+    """The AE trainer's single Adam (reference main_utils.py:638), with
+    the production bf16 moment-storage knob (cfg.adam_moment_dtype)."""
+    mom = jnp.bfloat16 \
+        if getattr(cfg, "adam_moment_dtype", "float32") == "bfloat16" else None
+    return adam_torch(cfg.init_lr, moment_dtype=mom)
+
+
 def create_ae_state(model: ResNetAE, cfg, rng) -> AETrainState:
     shape = (1, *model.input_shape)
     variables = model.init(rng, jnp.zeros(shape, jnp.float32), train=False)
-    tx = adam_torch(cfg.init_lr)
+    tx = _ae_tx(cfg)
     return AETrainState(variables["params"], variables["batch_stats"],
                         tx.init(variables["params"]), jnp.zeros([], jnp.int32))
 
@@ -198,7 +206,7 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
     zero1 = getattr(cfg, "zero1_optimizer_sharding", False)
     fsdp = getattr(cfg, "fsdp_parameter_sharding", False)
     state = mesh_lib.shard_ae_state(mesh, state, zero1=zero1, fsdp=fsdp)
-    tx = adam_torch(cfg.init_lr)
+    tx = _ae_tx(cfg)
     train_step = make_ae_train_step(
         model, tx, chunks=max(1, int(getattr(cfg, "grad_cache_chunks", 1))),
         mesh=mesh, zero1=zero1, fsdp=fsdp)

@@ -118,7 +118,9 @@ def make_optimizers(cfg, steps_per_epoch: int,
     sched = warmup_linear_schedule(cfg.bert_lr,
                                    warmup_steps=cfg.warmup_fraction * total,
                                    t_total=total)
-    img = adam_torch(cfg.init_lr)
+    adam_mom = jnp.bfloat16 \
+        if getattr(cfg, "adam_moment_dtype", "float32") == "bfloat16" else None
+    img = adam_torch(cfg.init_lr, moment_dtype=adam_mom)
     moment_dtype = jnp.bfloat16 \
         if getattr(cfg, "adamw_moment_dtype", "float32") == "bfloat16" else None
     txt = adamw_hf(sched, eps=1e-6, weight_decay=0.1, correct_bias=False,
@@ -128,7 +130,9 @@ def make_optimizers(cfg, steps_per_epoch: int,
         img = freeze(img, resnet_trainable_mask)
     if getattr(cfg, "freeze_text_encoder", False):
         txt = freeze(txt, bert_trainable_mask)
-    return MIOptimizers(img=img, mi=adam_torch(cfg.init_lr), txt=txt)
+    return MIOptimizers(img=img, mi=adam_torch(cfg.init_lr,
+                                               moment_dtype=adam_mom),
+                        txt=txt)
 
 
 def create_mi_state(model: ImageReportModel, cfg, txs: MIOptimizers, rng,

@@ -166,3 +166,36 @@ def test_bert_decay_mask():
     assert mask["bert"]["layer0"]["attention_layernorm"]["bias"] is False
     assert mask["classifier"]["kernel"] is True
     assert mask["classifier"]["bias"] is False
+
+
+def test_adam_torch_bf16_moments_track_optax():
+    """adam_torch(moment_dtype=bf16) (production knob for the image/critic
+    towers): f32-moment custom path must EQUAL optax.adam step for step;
+    bf16 moments must track it closely (update math stays f32)."""
+    rng = np.random.default_rng(4)
+    w0 = rng.normal(size=(16, 8)).astype(np.float32)
+    grads = lambda p: {"w": p["w"] + jnp.cos(p["w"])}
+
+    def run(moment_dtype, force_custom=False):
+        tx = adam_torch(1e-3, moment_dtype=moment_dtype) if (
+            moment_dtype is not None or not force_custom) else None
+        if tx is None:
+            tx = adam_torch(1e-3)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for _ in range(25):
+            updates, state = tx.update(grads(params), state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, state
+
+    p_ref, _ = run(None)                       # optax.adam (parity path)
+    p_f32, _ = run(jnp.float32)                # custom path, f32 moments
+    np.testing.assert_allclose(np.asarray(p_f32["w"]), np.asarray(p_ref["w"]),
+                               atol=1e-7, rtol=1e-6)
+    p16, s16 = run(jnp.bfloat16)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    assert s16.nu["w"].dtype == jnp.bfloat16
+    assert p16["w"].dtype == jnp.float32
+    drift = np.abs(np.asarray(p16["w"]) - np.asarray(p_ref["w"])).max()
+    motion = np.abs(np.asarray(p_ref["w"]) - w0).max()
+    assert drift < 0.02 * motion, (drift, motion)
