@@ -177,6 +177,12 @@ class TrainingConfig:
     # device with identical math (ops/image_norm.py, exact for integer
     # sources).  Halves/quarters the largest per-batch PCIe stream.
     compact_transfer: bool = True
+    # Decoded-crop cache directory (data/crop_cache.py): decode each
+    # full-resolution JPEG once and keep only the raw affine-support
+    # window (~14% of the pixels); later epochs replace the ~87 ms/image
+    # decode with a ~1 ms read, bit-identical outputs.  Empty = decode
+    # every epoch (reference behavior, model_utils.py:80).
+    decoded_crop_cache: str = ""
     # PRNG implementation for the per-step dropout keys ('unsafe_rbg' |
     # 'rbg' | 'threefry2x32').  The default uses the TPU hardware RNG:
     # threefry mask generation costs ~25% of a short-bucket BERT step on

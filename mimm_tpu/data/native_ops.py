@@ -127,6 +127,15 @@ def get_lib():
         lib.center_crop_norm_u16.argtypes = [_U16, _I64, _I64, _I64, _I64, _I64, _F]
         lib.affine_crop_raw_u8.argtypes = [_U8, _I64, _I64, _D, _I64, _I64, _I64, _U8]
         lib.affine_crop_raw_u16.argtypes = [_U16, _I64, _I64, _D, _I64, _I64, _I64, _U16]
+        if hasattr(lib, "affine_crop_raw_u8_win"):
+            lib.affine_crop_norm_u8_win.argtypes = \
+                [_U8, _I64, _I64, _D, _I64, _I64, _I64, _I64, _I64, _F]
+            lib.affine_crop_norm_u16_win.argtypes = \
+                [_U16, _I64, _I64, _D, _I64, _I64, _I64, _I64, _I64, _F]
+            lib.affine_crop_raw_u8_win.argtypes = \
+                [_U8, _I64, _I64, _D, _I64, _I64, _I64, _I64, _I64, _U8]
+            lib.affine_crop_raw_u16_win.argtypes = \
+                [_U16, _I64, _I64, _D, _I64, _I64, _I64, _I64, _I64, _U16]
         lib.center_crop_raw_u8.argtypes = [_U8, _I64, _I64, _I64, _I64, _I64, _U8]
         lib.center_crop_raw_u16.argtypes = [_U16, _I64, _I64, _I64, _I64, _I64, _U16]
         lib.mimm_wp_create.restype = ctypes.c_void_p
@@ -180,6 +189,35 @@ def affine_crop_raw(img: np.ndarray, matrix, top: int, left: int,
     m = (ctypes.c_double * 6)(*matrix)
     fn(img.ctypes.data_as(ptr_t), img.shape[0], img.shape[1], m, top, left,
        out_size, out.ctypes.data_as(ptr_t))
+    return out
+
+
+def affine_crop_win(img: np.ndarray, matrix, top: int, left: int,
+                    src_oy: int, src_ox: int, out_size: int,
+                    raw: bool) -> Optional[np.ndarray]:
+    """Windowed affine+crop (decoded-crop cache): ``img`` is a window cut
+    from a larger source at origin (src_oy, src_ox); ``matrix``/``top``/
+    ``left`` stay in full-image frame.  ``raw=False`` fuses the
+    max-normalize.  None if the native lib (or the _win symbols) is
+    absent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "affine_crop_raw_u8_win"):
+        return None
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint8:
+        fn = lib.affine_crop_raw_u8_win if raw else lib.affine_crop_norm_u8_win
+        ptr_t = _U8
+    elif img.dtype == np.uint16:
+        fn = lib.affine_crop_raw_u16_win if raw \
+            else lib.affine_crop_norm_u16_win
+        ptr_t = _U16
+    else:
+        return None
+    out = np.empty((out_size, out_size), img.dtype if raw else np.float32)
+    m = (ctypes.c_double * 6)(*matrix)
+    fn(img.ctypes.data_as(ptr_t), img.shape[0], img.shape[1], m, top, left,
+       src_oy, src_ox, out_size,
+       out.ctypes.data_as(ptr_t if raw else _F))
     return out
 
 

@@ -45,6 +45,28 @@ def _imread(path: str) -> Optional[np.ndarray]:
     return cv2.imread(path, cv2.IMREAD_ANYDEPTH)
 
 
+def _read_transformed(img_dir: str, img_id: str, img_size: int,
+                      rng: Optional[np.random.Generator], train: bool,
+                      raw: bool, crop_cache) -> Optional[np.ndarray]:
+    """Decode (or crop-cache-read) + reference transform for one image.
+    ``crop_cache``: a ``crop_cache.DecodedCropCache`` replaces the JPEG
+    decode with a raw support-window read — bit-identical outputs
+    (tests/test_crop_cache.py), ~28 ms -> ~1 ms per image on full-res
+    CXRs (tools/bench_decode.py)."""
+    if crop_cache is not None:
+        got = crop_cache.read(img_dir, img_id)
+        if got is None:
+            return None
+        win, oy, ox, h, w = got
+        return transforms.reference_transform_window(
+            win, (oy, ox), (h, w), rng, img_size, train=train, raw=raw)
+    img = _imread(os.path.join(img_dir, img_id))
+    if img is None:
+        return None
+    return transforms.reference_transform(img, rng, img_size, train=train,
+                                          raw=raw)
+
+
 def study_id_to_int(study_id: str) -> int:
     try:
         return int(study_id)
@@ -66,12 +88,14 @@ class CXRImageDataset:
     metadata CSV with a ``mimic_id`` column of image-relative paths."""
 
     def __init__(self, img_dir: str, dataset_metadata: str, img_size: int = 256,
-                 data_key: str = "mimic_id", compact: bool = False):
+                 data_key: str = "mimic_id", compact: bool = False,
+                 crop_cache=None):
         self.img_dir = img_dir
         self.img_size = img_size
         self.rows = _read_metadata_csv(dataset_metadata)
         self.data_key = data_key
         self.compact = compact
+        self.crop_cache = crop_cache
 
     def __len__(self):
         return len(self.rows)
@@ -79,11 +103,10 @@ class CXRImageDataset:
     def load(self, idx: int, rng: Optional[np.random.Generator],
              train: bool = True) -> Optional[Dict[str, np.ndarray]]:
         img_id = self.rows[idx][self.data_key]
-        img = _imread(os.path.join(self.img_dir, img_id))
+        img = _read_transformed(self.img_dir, img_id, self.img_size, rng,
+                                train, self.compact, self.crop_cache)
         if img is None:
             return None
-        img = transforms.reference_transform(img, rng, self.img_size,
-                                             train=train, raw=self.compact)
         return {"image": img[..., None]}  # HWC, C=1
 
 
@@ -98,11 +121,12 @@ class CXRImageReportDataset:
 
     def __init__(self, token_features, img_dir: str, dataset_metadata: str,
                  img_size: int = 256, data_key: str = "mimic_id",
-                 compact: bool = False):
+                 compact: bool = False, crop_cache=None):
         self.tokens = token_features  # TokenFeatureSet
         self.img_dir = img_dir
         self.img_size = img_size
         self.rows = _read_metadata_csv(dataset_metadata)
+        self.crop_cache = crop_cache
         self.data_key = data_key
         # uint16 token ids only if the vocab fits (standard BERT: 30522)
         self.compact = compact
@@ -129,11 +153,10 @@ class CXRImageReportDataset:
         tok = self.tokens.lookup(study_id)
         if tok is None:
             return None
-        img = _imread(os.path.join(self.img_dir, img_id))
+        img = _read_transformed(self.img_dir, img_id, self.img_size, rng,
+                                train, self.compact, self.crop_cache)
         if img is None:
             return None
-        img = transforms.reference_transform(img, rng, self.img_size,
-                                             train=train, raw=self.compact)
         ids, mask, segments = tok
         if self.compact:
             if self._narrow_ids:
@@ -156,13 +179,15 @@ class CXRImageDiseaseDataset:
 
     def __init__(self, img_dir: str, dataset_metadata: str, disease: str,
                  disease_stats: str, img_size: int = 256,
-                 data_key: str = "mimic_id", compact: bool = False):
+                 data_key: str = "mimic_id", compact: bool = False,
+                 crop_cache=None):
         pos, neg = read_disease_stats(disease_stats, disease)
         pos_set, neg_set = set(pos), set(neg)
         self.img_dir = img_dir
         self.img_size = img_size
         self.data_key = data_key
         self.compact = compact
+        self.crop_cache = crop_cache
         self.rows: List[Dict[str, str]] = []
         self.labels: List[int] = []
         cap = len(pos) + len(neg)
@@ -183,11 +208,10 @@ class CXRImageDiseaseDataset:
     def load(self, idx: int, rng: Optional[np.random.Generator],
              train: bool = True) -> Optional[Dict[str, np.ndarray]]:
         img_id = self.rows[idx][self.data_key]
-        img = _imread(os.path.join(self.img_dir, img_id))
+        img = _read_transformed(self.img_dir, img_id, self.img_size, rng,
+                                train, self.compact, self.crop_cache)
         if img is None:
             return None
-        img = transforms.reference_transform(img, rng, self.img_size,
-                                             train=train, raw=self.compact)
         return {"image": img[..., None], "label": np.float32(self.labels[idx])}
 
 

@@ -63,14 +63,24 @@ def _inverse_affine_matrix(center: Tuple[float, float], angle: float,
 
 
 def affine_crop(img: np.ndarray, angle: float, tx: int, ty: int,
-                out_size: int) -> np.ndarray:
+                out_size: int,
+                src_origin: Tuple[int, int] = (0, 0),
+                full_shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Fused RandomAffine(NEAREST, fill=0) + CenterCrop: inverse-map only the
     central out_size x out_size grid of the affined image.
 
     Equivalent to the reference's full-image affine followed by CenterCrop
     (helpers.py:154-155) but O(out_size^2) instead of O(H*W).
+
+    ``src_origin``/``full_shape`` (decoded-crop cache): ``img`` is a window
+    cut from a (full_shape) source at that origin; all geometry is computed
+    in the full-image frame and the integer origin is subtracted AFTER the
+    floor, so results are bit-identical to running on the full image.
     """
-    h, w = img.shape[:2]
+    if full_shape is not None:
+        h, w = full_shape
+    else:
+        h, w = img.shape[:2]
     # torchvision rotates about the image center ((w-1)/2? no: (w*0.5, h*0.5)
     # in float; F.affine uses [w*0.5+0.5, h*0.5+0.5] matrix center with -0.5
     # pixel offset handled below — empirically validated vs torchvision in
@@ -90,9 +100,22 @@ def affine_crop(img: np.ndarray, angle: float, tx: int, ty: int,
     sx = np.floor(m0 * fx + m1 * fy + m2).astype(np.int64)
     sy = np.floor(m3 * fx + m4 * fy + m5).astype(np.int64)
 
-    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
-    sx = np.clip(sx, 0, w - 1)
-    sy = np.clip(sy, 0, h - 1)
+    oy0, ox0 = src_origin
+    if oy0 or ox0 or full_shape is not None:
+        sx -= ox0
+        sy -= oy0
+        wh, ww = img.shape[:2]
+        # mask against the WINDOW bounds: equivalent to full-image bounds
+        # because the window covers the whole affine support region
+        # (crop_cache.support_window) — coords inside the full image but
+        # outside the window cannot occur.
+        valid = (sx >= 0) & (sx < ww) & (sy >= 0) & (sy < wh)
+        sx = np.clip(sx, 0, ww - 1)
+        sy = np.clip(sy, 0, wh - 1)
+    else:
+        valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+        sx = np.clip(sx, 0, w - 1)
+        sy = np.clip(sy, 0, h - 1)
     out = img[sy, sx]
     return np.where(valid, out, 0).astype(img.dtype)
 
@@ -167,6 +190,57 @@ def reference_transform(img: np.ndarray, rng: Optional[np.random.Generator],
             if out is not None:
                 return out
     return max_normalize(center_crop(img.astype(np.int16), img_size))
+
+
+def reference_transform_window(win: np.ndarray, src_origin: Tuple[int, int],
+                               full_shape: Tuple[int, int],
+                               rng: Optional[np.random.Generator],
+                               img_size: int, train: bool = True,
+                               raw: bool = False) -> np.ndarray:
+    """``reference_transform`` over a decoded-crop-cache window (see
+    data/crop_cache.py): ``win`` is the affine-support window cut from a
+    ``full_shape`` source at ``src_origin``.  All augmentation geometry
+    (affine params, matrix, crop offsets) is computed in the FULL-image
+    frame, so outputs are bit-identical to ``reference_transform`` on the
+    full decoded image (asserted exhaustively in tests/test_crop_cache.py).
+    """
+    from . import native_ops
+
+    if win.ndim == 3:
+        win = win[..., 0]
+    h, w = full_shape
+    oy0, ox0 = src_origin
+    top = int(round((h - img_size) / 2.0))
+    left = int(round((w - img_size) / 2.0))
+    if train and rng is not None:
+        angle, tx, ty = sample_affine_params(rng, w, h)
+        if win.dtype in (np.uint8, np.uint16):
+            m = _inverse_affine_matrix((w * 0.5, h * 0.5), angle, (tx, ty))
+            out = native_ops.affine_crop_win(win, m, top, left, oy0, ox0,
+                                             img_size, raw=raw)
+            if out is not None:
+                return out
+            if raw:
+                return affine_crop(win, angle, tx, ty, img_size,
+                                   src_origin=src_origin, full_shape=(h, w))
+        return max_normalize(affine_crop(win.astype(np.int16), angle, tx, ty,
+                                         img_size, src_origin=src_origin,
+                                         full_shape=(h, w)))
+    # eval path: the window always covers the central crop (or IS the
+    # whole too-small image, where center_crop's zero-padding applies)
+    if h >= img_size and w >= img_size:
+        crop = win[top - oy0:top - oy0 + img_size,
+                   left - ox0:left - ox0 + img_size]
+    else:
+        crop = center_crop(win, img_size)
+    if win.dtype in (np.uint8, np.uint16):
+        if raw:
+            return np.ascontiguousarray(crop)
+        if native_ops.get_lib() is not None and h >= img_size \
+                and w >= img_size:
+            # same math as the direct path's native center_crop_norm
+            return max_normalize(crop)
+    return max_normalize(crop.astype(np.int16))
 
 
 def reference_transform_pil(img: np.ndarray, angle: float, tx: int, ty: int,

@@ -170,10 +170,12 @@ def train_auto_encoder(cfg, dataset=None, num_epochs: Optional[int] = None,
     num_epochs = num_epochs or cfg.num_train_epochs
 
     if dataset is None:
+        from mimm_tpu.data import crop_cache
         dataset = CXRImageDataset(cfg.image_dir, cfg.dataset_metadata,
                                   img_size=cfg.img_size,
                                   compact=getattr(cfg, "compact_transfer",
-                                                  False))
+                                                  False),
+                                  crop_cache=crop_cache.from_config(cfg))
     # cfg.data_loader_workers is authoritative (reference parity 32);
     # the Loader caps at cpu_count-1 internally.
     loader = Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,

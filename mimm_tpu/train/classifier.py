@@ -179,11 +179,13 @@ class ClassifierModelManager:
         self.mlp = BasicMLP(768, list(mlp_hidden_layers))
 
         if dataset is None:
+            from mimm_tpu.data import crop_cache
             dataset = CXRImageDiseaseDataset(
                 img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
                 disease=cfg.disease_label, disease_stats=cfg.dataset_disease_stats,
                 img_size=cfg.img_size,
-                compact=getattr(cfg, "compact_transfer", False))
+                compact=getattr(cfg, "compact_transfer", False),
+                crop_cache=crop_cache.from_config(cfg))
         n = len(dataset)
         order = np.random.default_rng(cfg.seed).permutation(n)
         n_val = max(1, int(round(n * val_fraction)))

@@ -664,10 +664,12 @@ class MultiModalManager:
             self.model = build_joint_model(cfg, self.bert_config, mesh=mesh)
 
         if dataset is None:
+            from mimm_tpu.data import crop_cache
             dataset = CXRImageReportDataset(
                 token_features, cfg.image_dir, cfg.dataset_metadata,
                 img_size=cfg.img_size,
-                compact=getattr(cfg, "compact_transfer", False))
+                compact=getattr(cfg, "compact_transfer", False),
+                crop_cache=crop_cache.from_config(cfg))
         buckets = list(getattr(cfg, "seq_buckets", ()) or ()) or None
         if buckets and max(buckets) < cfg.max_seq_length:
             # a sample longer than the largest bucket would be SILENTLY

@@ -48,11 +48,13 @@ def _make_loader(cfg, disease: str, dataset=None):
     from mimm_tpu.data.pipeline import CXRImageDiseaseDataset, Loader
 
     if dataset is None:
+        from mimm_tpu.data import crop_cache
         dataset = CXRImageDiseaseDataset(
             img_dir=cfg.image_dir, dataset_metadata=cfg.dataset_metadata,
             disease=disease, disease_stats=cfg.dataset_disease_stats,
             img_size=cfg.img_size,
-            compact=getattr(cfg, "compact_transfer", False))
+            compact=getattr(cfg, "compact_transfer", False),
+            crop_cache=crop_cache.from_config(cfg))
     return Loader(dataset, batch_size=cfg.batch_size, seed=cfg.seed,
                   train=False, drop_last=False)
 

@@ -21,10 +21,19 @@
 // (torchvision _get_inverse_affine_matrix convention, scale=1, shear=0).
 // Pixels mapping outside the source are 0 (PIL fillcolor=0).
 // Returns the max sample value (for normalization).
+// src_oy/src_ox (decoded-crop cache, data/crop_cache.py): `img` is a
+// (h, w) window cut from a larger source at that origin; source coords
+// are computed in FULL-image frame and shifted by the integer origin
+// AFTER the floor — bit-exact with running on the full image (a
+// pre-floor float shift could flip the floor by one ulp).  Masking
+// against the window bounds equals masking against the full image
+// because the cache window covers the whole affine support region by
+// construction (crop_cache.support_window).
 template <typename T>
 static double affine_crop_impl(const T* img, int64_t h, int64_t w,
                                const double* m, int64_t top, int64_t left,
-                               int64_t out_size, float* out) {
+                               int64_t out_size, float* out,
+                               int64_t src_oy = 0, int64_t src_ox = 0) {
   double maxv = 0.0;
   for (int64_t oy = 0; oy < out_size; ++oy) {
     const double fy = static_cast<double>(oy + top) + 0.5;
@@ -33,8 +42,10 @@ static double affine_crop_impl(const T* img, int64_t h, int64_t w,
     float* row = out + oy * out_size;
     for (int64_t ox = 0; ox < out_size; ++ox) {
       const double fx = static_cast<double>(ox + left) + 0.5;
-      const int64_t sx = static_cast<int64_t>(std::floor(m[0] * fx + base_x));
-      const int64_t sy = static_cast<int64_t>(std::floor(m[3] * fx + base_y));
+      const int64_t sx =
+          static_cast<int64_t>(std::floor(m[0] * fx + base_x)) - src_ox;
+      const int64_t sy =
+          static_cast<int64_t>(std::floor(m[3] * fx + base_y)) - src_oy;
       float v = 0.0f;
       if (sx >= 0 && sx < w && sy >= 0 && sy < h) {
         v = static_cast<float>(img[sy * w + sx]);
@@ -71,6 +82,26 @@ void affine_crop_norm_u16(const uint16_t* img, int64_t h, int64_t w,
   normalize_inplace(out, out_size * out_size, maxv);
 }
 
+// Windowed variants (decoded-crop cache): img is a window at source
+// origin (src_oy, src_ox); top/left/matrix stay in FULL-image frame.
+void affine_crop_norm_u8_win(const uint8_t* img, int64_t h, int64_t w,
+                             const double* matrix, int64_t top, int64_t left,
+                             int64_t src_oy, int64_t src_ox,
+                             int64_t out_size, float* out) {
+  const double maxv = affine_crop_impl(img, h, w, matrix, top, left, out_size,
+                                       out, src_oy, src_ox);
+  normalize_inplace(out, out_size * out_size, maxv);
+}
+
+void affine_crop_norm_u16_win(const uint16_t* img, int64_t h, int64_t w,
+                              const double* matrix, int64_t top, int64_t left,
+                              int64_t src_oy, int64_t src_ox,
+                              int64_t out_size, float* out) {
+  const double maxv = affine_crop_impl(img, h, w, matrix, top, left, out_size,
+                                       out, src_oy, src_ox);
+  normalize_inplace(out, out_size * out_size, maxv);
+}
+
 }  // extern "C"
 
 // Raw (un-normalized, source-dtype) affine-crop variants for the compact
@@ -82,7 +113,8 @@ void affine_crop_norm_u16(const uint16_t* img, int64_t h, int64_t w,
 template <typename T>
 static void affine_crop_raw_impl(const T* img, int64_t h, int64_t w,
                                  const double* m, int64_t top, int64_t left,
-                                 int64_t out_size, T* out) {
+                                 int64_t out_size, T* out,
+                                 int64_t src_oy = 0, int64_t src_ox = 0) {
   for (int64_t oy = 0; oy < out_size; ++oy) {
     const double fy = static_cast<double>(oy + top) + 0.5;
     const double base_x = m[1] * fy + m[2];
@@ -90,8 +122,10 @@ static void affine_crop_raw_impl(const T* img, int64_t h, int64_t w,
     T* row = out + oy * out_size;
     for (int64_t ox = 0; ox < out_size; ++ox) {
       const double fx = static_cast<double>(ox + left) + 0.5;
-      const int64_t sx = static_cast<int64_t>(std::floor(m[0] * fx + base_x));
-      const int64_t sy = static_cast<int64_t>(std::floor(m[3] * fx + base_y));
+      const int64_t sx =
+          static_cast<int64_t>(std::floor(m[0] * fx + base_x)) - src_ox;
+      const int64_t sy =
+          static_cast<int64_t>(std::floor(m[3] * fx + base_y)) - src_oy;
       T v = 0;
       if (sx >= 0 && sx < w && sy >= 0 && sy < h) {
         v = img[sy * w + sx];
@@ -113,6 +147,22 @@ void affine_crop_raw_u16(const uint16_t* img, int64_t h, int64_t w,
                          const double* matrix, int64_t top, int64_t left,
                          int64_t out_size, uint16_t* out) {
   affine_crop_raw_impl(img, h, w, matrix, top, left, out_size, out);
+}
+
+void affine_crop_raw_u8_win(const uint8_t* img, int64_t h, int64_t w,
+                            const double* matrix, int64_t top, int64_t left,
+                            int64_t src_oy, int64_t src_ox,
+                            int64_t out_size, uint8_t* out) {
+  affine_crop_raw_impl(img, h, w, matrix, top, left, out_size, out,
+                       src_oy, src_ox);
+}
+
+void affine_crop_raw_u16_win(const uint16_t* img, int64_t h, int64_t w,
+                             const double* matrix, int64_t top, int64_t left,
+                             int64_t src_oy, int64_t src_ox,
+                             int64_t out_size, uint16_t* out) {
+  affine_crop_raw_impl(img, h, w, matrix, top, left, out_size, out,
+                       src_oy, src_ox);
 }
 
 }  // extern "C"

@@ -87,10 +87,36 @@ def main():
             dt = time.perf_counter() - t0
         scaling[str(n)] = round(len(reps) / dt, 1)  # images/s
 
+    # ---- decoded-crop cache path (data/crop_cache.py): read the raw
+    # support window instead of decoding the JPEG; bit-identical outputs
+    # (tests/test_crop_cache.py) ----
+    import shutil
+    import tempfile
+    from mimm_tpu.data.crop_cache import DecodedCropCache
+    cache_dir = tempfile.mkdtemp(prefix="mimm_cropcache_")
+    cache = DecodedCropCache(cache_dir, args.img_size)
+    ids = [os.path.relpath(p, args.images) for p in paths]
+    t0 = time.perf_counter()
+    for i in ids:
+        cache.read(args.images, i)  # epoch-1 build (decode + window write)
+    build_ms = (time.perf_counter() - t0) / len(ids) * 1e3
+    reps_c = ids * max(1, 60 // len(ids) + 1)
+    t0 = time.perf_counter()
+    for i in reps_c:
+        win, oy, ox, h, w = cache.read(args.images, i)
+        transforms.reference_transform_window(win, (oy, ox), (h, w), rng,
+                                              args.img_size, train=True,
+                                              raw=True)
+    cached_ms = (time.perf_counter() - t0) / len(reps_c) * 1e3
+    cache_bytes = sum(os.path.getsize(os.path.join(r, f))
+                      for r, _, fs in os.walk(cache_dir) for f in fs)
+    shutil.rmtree(cache_dir, ignore_errors=True)
+
     # ---- cores-needed arithmetic ----
     per_image_ms = float(np.mean(dts_ms)) + transform_ms
     images_per_core = 1e3 / per_image_ms
     cores_needed = args.target_pairs_per_sec / images_per_core
+    cached_cores_needed = args.target_pairs_per_sec / (1e3 / cached_ms)
 
     print(json.dumps({
         "metric": "host_decode_ms_per_image",
@@ -108,6 +134,12 @@ def main():
         "threaded_images_per_sec": scaling,
         "target_pairs_per_sec": args.target_pairs_per_sec,
         "decode_cores_needed_at_target": round(cores_needed, 1),
+        "crop_cache": {
+            "build_ms_per_image": round(build_ms, 2),
+            "cached_ms_per_sample": round(cached_ms, 2),
+            "bytes_per_image": int(cache_bytes / max(1, len(ids))),
+            "cores_needed_at_target": round(cached_cores_needed, 1),
+        },
         "host_cpus": os.cpu_count(),
     }))
 
