@@ -116,7 +116,8 @@ def main():
         "BUCKET_MIX must cover the production seq_buckets"
     bert_cfg = BertConfig(num_classes=cfg.output_channels,
                           flash_attention=cfg.flash_attention,
-                          gelu_tanh=cfg.gelu_tanh)
+                          gelu_tanh=cfg.gelu_tanh,
+                          u8_dropout=cfg.u8_dropout)
     model = ImageReportModel(bert_config=bert_cfg,
                              output_channels=cfg.output_channels,
                              dtype=jnp.bfloat16)

@@ -145,6 +145,15 @@ class TrainingConfig:
     # derived from the canonical params in-flight — same function, same
     # parameter tree/checkpoints (models/resnet.py).  Perf knob only.
     s2d_stem: bool = False
+    # uint8-threshold dropout masks in the text tower (models/bert.py
+    # BertConfig.u8_dropout, ops/dropout.py): one random BYTE per
+    # element instead of nn.Dropout's uint32 — fixes the L>128 dropout
+    # step-time cliff on v5e (L=192 step 76.6 -> 63.1 ms, L=128 36.7 ->
+    # 34.4; BERT_VARIANTS=cliff2 tools/bench_bert_variants.py).
+    # Keep-probability resolution is 1/256 (p=0.1 realizes 0.8984 keep,
+    # 0.17% off) — a disclosed approximation, same class as gelu_tanh;
+    # parity preset keeps exact nn.Dropout.
+    u8_dropout: bool = False
     # tanh-approximated GELU in the text tower (models/bert.py
     # BertConfig.gelu_tanh): 10-13% step saving on v5e; differs from the
     # reference's erf GELU by <= 1e-3 absolute (below bfloat16 working
@@ -337,6 +346,7 @@ PRODUCTION_SEQ_BUCKETS = (64, 96, 128, 192, 320)
 _PRODUCTION_OVERRIDES = dict(
     compute_dtype="bfloat16",
     gelu_tanh=True,                 # <=1e-3 abs GELU deviation, disclosed
+    u8_dropout=True,                # 1/256 keep-prob resolution, disclosed
     adamw_moment_dtype="bfloat16",  # update math stays f32
     adam_moment_dtype="bfloat16",
     seq_buckets=PRODUCTION_SEQ_BUCKETS,

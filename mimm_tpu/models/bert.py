@@ -28,10 +28,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mimm_tpu.ops.dropout import PackedDropout
+from mimm_tpu.ops.dropout import PackedDropout, U8Dropout
 
 
 def _dropout(cfg, rate: float):
+    if getattr(cfg, "u8_dropout", False):
+        return U8Dropout(rate)
     return PackedDropout(rate) if cfg.packed_dropout else nn.Dropout(rate)
 
 
@@ -75,6 +77,11 @@ class BertConfig:
     # RNG generation but the byte-interleave relayout measured SLOWER than
     # plain masks on v5e (384 vs 169 ms/step) — off by default.
     packed_dropout: bool = False
+    # uint8-threshold dropout masks (ops/dropout.py u8_dropout): 4x less
+    # random-bit volume with no unpack relayout; keep-prob resolution
+    # 1/256 (disclosed approximation, same class as gelu_tanh).  Fixes
+    # the L>128 dropout step-time cliff (BERT_VARIANTS=cliff).
+    u8_dropout: bool = False
     # TPU-native: rematerialize each encoder layer in the backward pass
     # (drops the O(B * heads * L^2) attention-prob activations from HBM;
     # ~1/3 extra forward FLOPs buys 4x larger global batches).

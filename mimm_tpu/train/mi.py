@@ -85,6 +85,7 @@ def load_bert_config(cfg) -> BertConfig:
     overrides = dict(num_classes=cfg.output_channels,
                      flash_attention=getattr(cfg, "flash_attention", True),
                      gelu_tanh=getattr(cfg, "gelu_tanh", False),
+                     u8_dropout=getattr(cfg, "u8_dropout", False),
                      fused_ffn=getattr(cfg, "fused_ffn", False))
     if os.path.exists(path):
         return BertConfig.from_json_file(path, **overrides)

@@ -144,6 +144,45 @@ def main():
                            deterministic=True)
             print(json.dumps(out), flush=True)
         return
+    if mode == "cliff":
+        # Locate the fixed ~+20 ms step-time cliff between L=128 and
+        # L=160 (VERDICT r2 item 3: the 192 bucket at ~41% MFU).  Raw
+        # same-FLOP GEMM chains show no cliff and it is attention-impl-
+        # independent, so sweep L finely and strip components at the
+        # first post-cliff length.  LENS / CLIFF_VARIANTS env override.
+        lens = [int(x) for x in os.environ.get(
+            "LENS", "128,136,144,152,160").split(",")]
+        for L_ in lens:
+            ids = jnp.asarray(rng.integers(0, 30522,
+                                           (BATCH, L_)).astype(np.int32))
+            bert_step_time(f"L{L_}", flash_attention=False, gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+        L_ = lens[-1]
+        ids = jnp.asarray(rng.integers(0, 30522,
+                                       (BATCH, L_)).astype(np.int32))
+        for var, kw in (("no_dropout", dict(deterministic=True)),
+                        ("no_opt", dict(with_opt=False))):
+            bert_step_time(f"L{L_}_{var}", flash_attention=False,
+                           gelu_tanh=True, **kw)
+            print(json.dumps(out), flush=True)
+        return
+    if mode == "cliff2":
+        # The fix candidate for the cliff: uint8-threshold dropout
+        # (BertConfig.u8_dropout) vs plain vs none, across the cliff.
+        for L_ in [int(x) for x in os.environ.get(
+                "LENS", "128,160,192").split(",")]:
+            ids = jnp.asarray(rng.integers(0, 30522,
+                                           (BATCH, L_)).astype(np.int32))
+            bert_step_time(f"L{L_}_plain", flash_attention=False,
+                           gelu_tanh=True)
+            print(json.dumps(out), flush=True)
+            bert_step_time(f"L{L_}_u8", flash_attention=False,
+                           gelu_tanh=True, u8_dropout=True)
+            print(json.dumps(out), flush=True)
+        bert_step_time("L192_no_dropout", flash_attention=False,
+                       gelu_tanh=True, deterministic=True)
+        print(json.dumps(out), flush=True)
+        return
     if mode == "buckets":
         # einsum-attention step time at every bucket length, + flash at 96
         # (flash numbers for 64/128/192/320 come from bench_breakdown.py)

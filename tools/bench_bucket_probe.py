@@ -93,6 +93,7 @@ def main():
     for mode, flash_min in modes.items():
         bert_cfg = BertConfig(num_classes=cfg.output_channels,
                               flash_attention=on_tpu, gelu_tanh=cfg.gelu_tanh,
+                              u8_dropout=cfg.u8_dropout,
                               flash_min_seq_len=flash_min)
         model = ImageReportModel(bert_config=bert_cfg,
                                  output_channels=cfg.output_channels,
