@@ -183,6 +183,66 @@ def main():
                        gelu_tanh=True, deterministic=True)
         print(json.dumps(out), flush=True)
         return
+    if mode == "cliff3":
+        # Localize the residual (non-dropout) L>128 cliff: time 12x the
+        # FFN block and 12x the attention block in isolation (fwd+bwd,
+        # no dropout, no optimizer) at M = B*L crossing 8192.
+        H, I, NH = 768, 3072, 12
+
+        def timed_block(tag, loss_fn, params):
+            @jax.jit
+            def step(state, _):
+                p, acc = state
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                acc = acc + jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x.astype(jnp.float32) ** 2),
+                    g, 0.0)
+                return (p, acc), loss + 0.0 * acc
+            state = (params, jnp.float32(0))
+            out[tag] = round(_timed(step, state, None) * 1e3, 2)
+            print(json.dumps(out), flush=True)
+
+        for L_ in (128, 160):
+            x = jnp.asarray(rng.standard_normal((BATCH, L_, H)), jnp.bfloat16)
+            w1 = jnp.asarray(rng.standard_normal((H, I)) * 0.02, jnp.bfloat16)
+            w2 = jnp.asarray(rng.standard_normal((I, H)) * 0.02, jnp.bfloat16)
+            g1 = jnp.ones((H,), jnp.float32)
+
+            def ffn_loss(p, x=x):
+                w1, w2, g1 = p
+                for _ in range(12):
+                    h = jax.nn.gelu(x @ w1, approximate=True) @ w2 + x
+                    m = jnp.mean(h.astype(jnp.float32), -1, keepdims=True)
+                    v = jnp.var(h.astype(jnp.float32), -1, keepdims=True)
+                    x = (((h - m) * jax.lax.rsqrt(v + 1e-12)) * g1
+                         ).astype(jnp.bfloat16)
+                return jnp.mean(jnp.square(x.astype(jnp.float32)))
+
+            timed_block(f"ffn12_L{L_}", ffn_loss, (w1, w2, g1))
+
+            wq = jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
+            wo = jnp.asarray(rng.standard_normal((H, H)) * 0.02, jnp.bfloat16)
+
+            def attn_loss(p, x=x, L_=L_):
+                wq, wo, g1 = p
+                for _ in range(12):
+                    q = (x @ wq).reshape(BATCH, L_, NH, H // NH)
+                    k = (x @ wq).reshape(BATCH, L_, NH, H // NH)
+                    v = (x @ wo).reshape(BATCH, L_, NH, H // NH)
+                    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / 8.0
+                    pr = jax.nn.softmax(s.astype(jnp.float32), -1
+                                        ).astype(jnp.bfloat16)
+                    c = jnp.einsum("bhqk,bkhd->bqhd", pr, v
+                                   ).reshape(BATCH, L_, H)
+                    h = c @ wo + x
+                    m = jnp.mean(h.astype(jnp.float32), -1, keepdims=True)
+                    va = jnp.var(h.astype(jnp.float32), -1, keepdims=True)
+                    x = (((h - m) * jax.lax.rsqrt(va + 1e-12)) * g1
+                         ).astype(jnp.bfloat16)
+                return jnp.mean(jnp.square(x.astype(jnp.float32)))
+
+            timed_block(f"attn12_L{L_}", attn_loss, (wq, wo, g1))
+        return
     if mode == "buckets":
         # einsum-attention step time at every bucket length, + flash at 96
         # (flash numbers for 64/128/192/320 come from bench_breakdown.py)
