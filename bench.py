@@ -54,7 +54,10 @@ import time
 import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 18.0  # BASELINE.md (derived from epoch logs)
-BATCH = 64
+# env override for A/B probes only (e.g. the ROUND3.md B=128 point, which
+# changes BN/negative-pool semantics and is therefore NOT the default);
+# the default IS the production preset's batch size
+BATCH = int(os.environ.get("MIMM_BENCH_BATCH", "64"))
 # report-length mix measured on the fixture corpus (see module docstring;
 # tools/derive_buckets.py recomputes it from any TSV corpus).  Keys must
 # equal config.PRODUCTION_SEQ_BUCKETS (pinned by tests/test_presets.py).
@@ -85,6 +88,15 @@ def build_config(on_tpu: bool):
     cfg = TrainingConfig.production(batch_size=BATCH, mi_estimator="dv")
     if cfg.scan_steps != SCAN_STEPS:
         cfg = cfg.replace(scan_steps=SCAN_STEPS)
+    # A/B probe hook: MIMM_BENCH_OVERRIDES="adam_moment_dtype=float32,..."
+    # (string/bool/int fields only; never set in driver runs, so the
+    # measured default stays exactly the production preset)
+    for kv in filter(None, os.environ.get("MIMM_BENCH_OVERRIDES",
+                                          "").split(",")):
+        k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)
+        cfg = cfg.replace(**{k: type(cur)(v) if not isinstance(cur, bool)
+                             else v.lower() in ("1", "true")})
     if not on_tpu:  # Pallas/Mosaic kernels need the real chip
         cfg = cfg.replace(use_pallas_critic=False, flash_attention=False)
     return cfg
