@@ -95,6 +95,11 @@ def build_config(on_tpu: bool):
                                           "").split(",")):
         k, v = kv.split("=", 1)
         cur = getattr(cfg, k)
+        if not isinstance(cur, (str, bool, int, float)):
+            raise SystemExit(
+                f"MIMM_BENCH_OVERRIDES: field {k!r} has unsupported type "
+                f"{type(cur).__name__} (only str/bool/int/float fields "
+                f"can be overridden)")
         cfg = cfg.replace(**{k: type(cur)(v) if not isinstance(cur, bool)
                              else v.lower() in ("1", "true")})
     if not on_tpu:  # Pallas/Mosaic kernels need the real chip

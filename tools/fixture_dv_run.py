@@ -34,9 +34,16 @@ def main():
     ap.add_argument("--workdir", default="/tmp/fixture_dv")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--init_lr", type=float, default=1e-4)
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "fixture_dv_epoch20"))
     args = ap.parse_args()
+
+    import jax
+    # persistent compile cache: the f32 bert-base step at a fresh batch
+    # shape costs minutes to compile through the tunnel; repeats are free
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fixture")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from e2e_fixture import build_vocab_from_corpus
 
@@ -91,7 +98,11 @@ def main():
         dataset_metadata=dcfg.training_dataset_labeldata,
         save_directory=wd + "/save",
         batch_size=args.batch_size, max_seq_length=320,
+        init_lr=args.init_lr,
         num_train_epochs=args.epochs, mi_estimator="dv", seed=0,
+        # bit-identical decoded-crop cache (tests/test_crop_cache.py):
+        # multi-hundred-epoch runs decode each image once, not per epoch
+        decoded_crop_cache=wd + "/crop_cache",
         checkpoint_every_epochs=1_000_000)  # final epoch only
     bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size, num_classes=1,
                           flash_attention=False)  # bert-base dims
@@ -120,6 +131,7 @@ def main():
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({
             "epochs": args.epochs, "batch_size": args.batch_size,
+            "init_lr": args.init_lr,
             "pairs": len(feats), "vocab_size": tokenizer.vocab_size,
             "model": "bert-base dims + ResNet256_6_2_1, parity numerics",
             "epoch_losses": values,

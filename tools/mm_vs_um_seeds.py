@@ -33,13 +33,20 @@ def main():
 
     rows = []
     for seed in range(args.seeds):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "e2e_fixture.py"),
-             "--seed", str(seed), "--epochs", str(args.epochs),
-             "--clf_epochs", str(args.clf_epochs),
-             "--disease", args.disease,
-             "--workdir", f"/tmp/e2e_seed{seed}"],
-            capture_output=True, text=True, timeout=3000)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools",
+                                              "e2e_fixture.py"),
+                 "--seed", str(seed), "--epochs", str(args.epochs),
+                 "--clf_epochs", str(args.clf_epochs),
+                 "--disease", args.disease,
+                 "--workdir", f"/tmp/e2e_seed{seed}"],
+                capture_output=True, text=True, timeout=3000)
+        except subprocess.TimeoutExpired as e:
+            stderr = e.stderr or b""
+            print(f"seed {seed} FAILED (timeout after {e.timeout}s):\n"
+                  f"{stderr[-2000:]!r}", file=sys.stderr)
+            sys.exit(1)
         result = None
         for line in proc.stdout.splitlines():
             if line.startswith("E2E_RESULT "):
@@ -63,7 +70,9 @@ def main():
                                 for r in rows) / len(rows), 4),
         "reference": "save_dir/validation/{mm,um}_*.log (~2-5 pt MM gap)",
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k != "seeds"}))
