@@ -384,16 +384,23 @@ def make_mi_step_body(model: ImageReportModel, txs: MIOptimizers, cfg,
     data_size = dict(mesh.shape).get(mesh_lib.DATA_AXIS, 1) \
         if mesh is not None else 1
     if gad not in ("float32", ""):
+        # Composes with zero1/fsdp: shard_map in_specs=P() all-gathers
+        # fsdp-sharded params on entry (that IS the FSDP gather), the bf16
+        # psum produces replicated grads, and finish_step re-pins params/
+        # moments to their at-rest layouts exactly as on the GSPMD path.
+        # Still excluded: tp/pp/SP (text/critic keep their own layouts and
+        # must not be gathered), grad-cache (chunked two-pass forward),
+        # and local negatives (different loss).
         supported = (gad == "bfloat16" and data_size > 1 and not tp_mesh
-                     and not use_pp and not zero1 and not fsdp
+                     and not use_pp
                      and grad_cache == 1 and local_blocks == 1
                      and getattr(cfg, "sequence_parallel", False) is False)
         if not supported:
             logger.warning(
                 "grad_allreduce_dtype=%s requested but unsupported with "
-                "this mesh/knob combination (needs a pure-DP 'data' mesh, "
-                "global negatives, no zero1/fsdp/grad-cache/tp/pp/sp) — "
-                "keeping the float32 GSPMD collective", gad)
+                "this mesh/knob combination (needs a 'data' mesh without "
+                "tp/pp/sp, global negatives, no grad-cache; zero1/fsdp "
+                "are fine) — keeping the float32 GSPMD collective", gad)
         else:
             try:
                 from jax import shard_map as _sm

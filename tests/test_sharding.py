@@ -162,6 +162,58 @@ def test_grad_allreduce_bf16_matches_f32_step():
     np.testing.assert_allclose(m_gad, m_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_grad_allreduce_bf16_composes_with_zero1_fsdp():
+    """cfg.grad_allreduce_dtype='bfloat16' + zero1 + fsdp (round-4 VERDICT
+    item 8): the shard_map path all-gathers the fsdp-sharded params on
+    entry, bf16-psums the grads, and finish_step re-pins params/moments —
+    so the step must track the f32 GSPMD zero1+fsdp step inside the same
+    rounding band as the pure-DP lane, and the at-rest shardings must
+    survive the donated step (no layout drift)."""
+    bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=32, num_classes=1,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    base = TrainingConfig().replace(
+        batch_size=8, img_size=128, max_seq_length=16,
+        compute_dtype="float32", num_train_epochs=1,
+        use_pallas_critic=False, flash_attention=False, seed=0,
+        zero1_optimizer_sharding=True, fsdp_parameter_sharding=True)
+    model = build_joint_model(base, bert)
+    txs = make_optimizers(base, steps_per_epoch=2)
+    batch = _make_batch(8, 128, 16)
+    mesh4 = mesh_lib.make_mesh({"data": 4})
+    b4 = mesh_lib.shard_batch(mesh4, batch)
+
+    def sharded_state():
+        return mesh_lib.shard_mi_state(
+            mesh4, create_mi_state(model, base, txs, jax.random.PRNGKey(0)),
+            zero1=True, fsdp=True)
+
+    s_ref = sharded_state()
+    step_ref = make_mi_train_step(model, txs, base, mesh=mesh4)
+    s_ref, loss_ref1 = step_ref(s_ref, b4)
+    s_ref, loss_ref2 = step_ref(s_ref, b4)
+
+    gad = base.replace(grad_allreduce_dtype="bfloat16")
+    s_gad = sharded_state()
+    step_gad = make_mi_train_step(model, txs, gad, mesh=mesh4)
+    s_gad, loss_gad1 = step_gad(s_gad, b4)
+    s_gad, loss_gad2 = step_gad(s_gad, b4)
+
+    np.testing.assert_allclose(float(loss_gad1), float(loss_ref1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_gad2), float(loss_ref2),
+                               rtol=2e-3, atol=1e-4)
+    # at-rest layouts survived: image params still 'data'-sharded (fsdp),
+    # image moments still 'data'-sharded (zero1)
+    conv_w = s_gad.params["image_model"]["conv1"]["kernel"]
+    assert "data" in str(conv_w.sharding.spec), conv_w.sharding
+    mu = jax.tree.leaves(s_gad.img_opt)
+    assert any("data" in str(x.sharding.spec) for x in mu
+               if hasattr(x, "sharding") and x.ndim > 0), \
+        [getattr(x, "sharding", None) for x in mu]
+
+
 def test_grad_allreduce_bf16_unsupported_combo_falls_back():
     """With a tensor-parallel mesh the knob must warn and keep the plain
     GSPMD step (identical losses to grad_allreduce_dtype='float32')."""
