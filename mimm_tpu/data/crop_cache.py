@@ -100,6 +100,16 @@ class DecodedCropCache:
         return os.path.join(self.cache_dir,
                             f"{img_id}.w{self.img_size}.npz")
 
+    def valid(self, img_id: str) -> bool:
+        """Cheap resumability peek (cli/prebuild_cache.py): True iff a
+        current-version cache entry exists — reads only the tiny ``meta``
+        member, never decompresses the pixel window."""
+        try:
+            with np.load(self._path(img_id)) as z:
+                return int(z["meta"][4]) == _VERSION
+        except (OSError, KeyError, ValueError, IndexError):
+            return False
+
     def read(self, img_dir: str, img_id: str
              ) -> Optional[Tuple[np.ndarray, int, int, int, int]]:
         path = self._path(img_id)
