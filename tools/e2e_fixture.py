@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="seed for params/shuffle/augment AND the train/"
                          "test split (multi-seed MM-vs-UM stability runs)")
+    ap.add_argument("--bert_dropout", type=float, default=0.1,
+                    help="BERT dropout (reference bert_config.json surface;"
+                         " 0 recommended for fixture MI runs at random init"
+                         " -- see tools/fixture_dv_run.py --bert_dropout)")
     args = ap.parse_args()
 
     import csv
@@ -125,7 +129,9 @@ def main():
     bert_cfg = BertConfig(
         vocab_size=tokenizer.vocab_size, hidden_size=128, num_hidden_layers=2,
         num_attention_heads=2, intermediate_size=256,
-        max_position_embeddings=128, num_classes=1)
+        max_position_embeddings=128, num_classes=1,
+        hidden_dropout_prob=args.bert_dropout,
+        attention_probs_dropout_prob=args.bert_dropout)
     mgr = MultiModalManager(tcfg, bert_config=bert_cfg,
                             load_pretrained_bert=False)
     mgr.train(token_features=feats, num_epochs=args.epochs)

@@ -32,9 +32,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/fixture_dv")
-    ap.add_argument("--epochs", type=int, default=20)
-    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=1500)
+    ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--init_lr", type=float, default=1e-4)
+    ap.add_argument("--bert_dropout", type=float, default=0.0,
+                    help="BERT hidden/attention dropout for the run. The "
+                    "reference configures dropout via its pretrained dir's "
+                    "bert_config.json, so this is reference config surface, "
+                    "not a numerics change.  Default 0: at RANDOM init the "
+                    "dropout-induced text-embedding jitter measures 1.4x "
+                    "the inter-report embedding spread (ROUND4.md), so "
+                    "with dropout on, no faithful implementation (ours or "
+                    "the reference's own code) can learn MI on this corpus "
+                    "-- the reference's real runs relied on pretrained "
+                    "clinical-BERT weights, which are environment-blocked "
+                    "(PARITY.md).")
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "fixture_dv_epoch20"))
     args = ap.parse_args()
@@ -105,7 +117,9 @@ def main():
         decoded_crop_cache=wd + "/crop_cache",
         checkpoint_every_epochs=1_000_000)  # final epoch only
     bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size, num_classes=1,
-                          flash_attention=False)  # bert-base dims
+                          flash_attention=False,  # bert-base dims
+                          hidden_dropout_prob=args.bert_dropout,
+                          attention_probs_dropout_prob=args.bert_dropout)
     mgr = MultiModalManager(tcfg, bert_config=bert_cfg,
                             load_pretrained_bert=False)
     mgr.train(token_features=feats, num_epochs=args.epochs,
@@ -131,7 +145,7 @@ def main():
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({
             "epochs": args.epochs, "batch_size": args.batch_size,
-            "init_lr": args.init_lr,
+            "init_lr": args.init_lr, "bert_dropout": args.bert_dropout,
             "pairs": len(feats), "vocab_size": tokenizer.vocab_size,
             "model": "bert-base dims + ResNet256_6_2_1, parity numerics",
             "epoch_losses": values,

@@ -24,7 +24,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
-    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--bert_dropout", type=float, default=0.0,
+                    help="passed to e2e_fixture; 0 lets the tiny random-"
+                         "init MI stage actually learn (fixture_dv_run"
+                         " --bert_dropout rationale)")
     ap.add_argument("--clf_epochs", type=int, default=3)
     ap.add_argument("--disease", default="Pneumonia")
     ap.add_argument("--out", default=os.path.join(
@@ -39,6 +43,7 @@ def main():
                                               "e2e_fixture.py"),
                  "--seed", str(seed), "--epochs", str(args.epochs),
                  "--clf_epochs", str(args.clf_epochs),
+                 "--bert_dropout", str(args.bert_dropout),
                  "--disease", args.disease,
                  "--workdir", f"/tmp/e2e_seed{seed}"],
                 capture_output=True, text=True, timeout=3000)
@@ -64,7 +69,8 @@ def main():
     ties = sum(1 for r in rows if r["mm_accuracy"] == r["um_accuracy"])
     summary = {
         "disease": args.disease, "epochs": args.epochs,
-        "clf_epochs": args.clf_epochs, "seeds": rows,
+        "clf_epochs": args.clf_epochs, "bert_dropout": args.bert_dropout,
+        "seeds": rows,
         "mm_wins": wins, "ties": ties, "losses": len(rows) - wins - ties,
         "mean_delta": round(sum(r["mm_accuracy"] - r["um_accuracy"]
                                 for r in rows) / len(rows), 4),
