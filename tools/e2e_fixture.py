@@ -59,11 +59,19 @@ def main():
     ap.add_argument("--seed", type=int, default=0,
                     help="seed for params/shuffle/augment AND the train/"
                          "test split (multi-seed MM-vs-UM stability runs)")
+    ap.add_argument("--platform", default="",
+                    help="'cpu' pins jax to host CPU (jax.config override;"
+                         " plain JAX_PLATFORMS env is too late under this"
+                         " machine's sitecustomize)")
     ap.add_argument("--bert_dropout", type=float, default=0.1,
                     help="BERT dropout (reference bert_config.json surface;"
                          " 0 recommended for fixture MI runs at random init"
                          " -- see tools/fixture_dv_run.py --bert_dropout)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     import csv
 

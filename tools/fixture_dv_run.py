@@ -1,19 +1,24 @@
-"""Produce the committed 20-epoch fixture-corpus DV-curve artifact
-(VERDICT r2 item 1b): run the FULL MI pretraining chain (ETL -> tokenize
--> 20 epochs of DV training) on the in-repo fixture corpus at
+"""Produce the committed fixture-corpus DV-curve artifact (VERDICT r2
+item 1b / r3 item 1): run the FULL MI pretraining chain (ETL ->
+tokenize -> DV training) on the in-repo fixture corpus at
 production-like model shape (bert-base dims over the derived vocab,
-256px ResNet, L=320 reference padding, exact parity numerics) and
-commit the loss curve under artifacts/fixture_dv_epoch20/.
+256px ResNet, L=320 reference padding, parity numerics) and commit the
+loss curve under artifacts/fixture_dv_curve/.
 
 The claim the artifact evidences: the DV training loss reproduces the
-reference's curve SHAPE — monotone, strongly negative, still falling at
-epoch 20 (reference save_dir/mm_dv_epoch20/training_MI.log:12-107 went
--450 -> -5447 on the 200k-pair corpus).  Absolute values differ (110
-fixture pairs vs 200k; derived vocab vs clinical BERT weights — the
-real-corpus clause is environment-blocked, PARITY.md).
+reference's curve SHAPE — monotone-trending, strongly negative, still
+falling at the end (reference save_dir/mm_dv_epoch20/training_MI.log
+:12-107 went -450 -> -5447 over 62.5k steps on the 200k-pair corpus).
+Absolute values and step counts differ (72 fixture pairs vs 200k;
+derived vocab + RANDOM-INIT bert vs pretrained clinical BERT — the
+real-corpus/pretrained-weights clause is environment-blocked,
+PARITY.md).  Because the text tower starts from random init, the run
+sets dropout 0 via --bert_dropout (reference bert_config.json surface;
+see the flag help and ROUND4.md for the measured jitter-vs-spread
+diagnosis that makes dropout-0 necessary and sufficient here).
 
 Usage:  python tools/fixture_dv_run.py [--workdir /tmp/fixture_dv]
-            [--epochs 20] [--out artifacts/fixture_dv_epoch20]
+            [--epochs 1500] [--out artifacts/fixture_dv_curve]
 """
 
 import argparse
@@ -48,7 +53,7 @@ def main():
                     "clinical-BERT weights, which are environment-blocked "
                     "(PARITY.md).")
     ap.add_argument("--out", default=os.path.join(
-        REPO, "artifacts", "fixture_dv_epoch20"))
+        REPO, "artifacts", "fixture_dv_curve"))
     args = ap.parse_args()
 
     import jax

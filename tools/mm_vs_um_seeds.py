@@ -31,6 +31,8 @@ def main():
                          " --bert_dropout rationale)")
     ap.add_argument("--clf_epochs", type=int, default=3)
     ap.add_argument("--disease", default="Pneumonia")
+    ap.add_argument("--platform", default="",
+                    help="forwarded to e2e_fixture (e.g. 'cpu')")
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "mm_vs_um_seeds.json"))
     args = ap.parse_args()
@@ -44,6 +46,7 @@ def main():
                  "--seed", str(seed), "--epochs", str(args.epochs),
                  "--clf_epochs", str(args.clf_epochs),
                  "--bert_dropout", str(args.bert_dropout),
+                 *(["--platform", args.platform] if args.platform else []),
                  "--disease", args.disease,
                  "--workdir", f"/tmp/e2e_seed{seed}"],
                 capture_output=True, text=True, timeout=3000)
