@@ -69,9 +69,13 @@ def main():
                          " -- see tools/fixture_dv_run.py --bert_dropout)")
     args = ap.parse_args()
 
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: every seed of a sweep runs identical
+    # model/batch shapes — only seed 0 pays the compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_e2e")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import csv
 

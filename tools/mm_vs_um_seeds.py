@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--disease", default="Pneumonia")
     ap.add_argument("--platform", default="",
                     help="forwarded to e2e_fixture (e.g. 'cpu')")
+    ap.add_argument("--per_seed_timeout", type=int, default=3000,
+                    help="seconds per e2e_fixture subprocess")
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "mm_vs_um_seeds.json"))
     args = ap.parse_args()
@@ -49,7 +51,8 @@ def main():
                  *(["--platform", args.platform] if args.platform else []),
                  "--disease", args.disease,
                  "--workdir", f"/tmp/e2e_seed{seed}"],
-                capture_output=True, text=True, timeout=3000)
+                capture_output=True, text=True,
+                timeout=args.per_seed_timeout)
         except subprocess.TimeoutExpired as e:
             stderr = e.stderr or b""
             print(f"seed {seed} FAILED (timeout after {e.timeout}s):\n"
