@@ -81,11 +81,17 @@ def main(argv=None):
     t0 = time.time()
 
     def build_one(img_id):
-        if cache.valid(img_id):
-            return "skipped_valid"
-        if cache.read(args.image_dir, img_id) is None:
+        # any escaping exception (unexpected cv2/OS error) must not kill
+        # the whole resumable build mid-iteration — count it unreadable
+        try:
+            if cache.valid(img_id):
+                return "skipped_valid"
+            if cache.read(args.image_dir, img_id) is None:
+                return "unreadable"
+            return "built"
+        except Exception as e:  # noqa: BLE001 — per-image fault isolation
+            print(f"error on {img_id}: {e!r}", file=sys.stderr)
             return "unreadable"
-        return "built"
 
     with concurrent.futures.ThreadPoolExecutor(
             max_workers=max(1, args.workers)) as pool:

@@ -53,7 +53,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/e2e_fixture")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--clf_epochs", type=int, default=3)
-    ap.add_argument("--disease", default="Pneumonia")
+    ap.add_argument("--disease", default="Pneumonia",
+                    help="comma-separated list: the MI/AE pretraining runs "
+                         "ONCE per seed, then a classifier + validation per "
+                         "disease (one E2E_RESULT line each)")
     ap.add_argument("--skip_um", action="store_true",
                     help="skip the unimodal (AE) baseline branch")
     ap.add_argument("--seed", type=int, default=0,
@@ -73,8 +76,14 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     # persistent compile cache: every seed of a sweep runs identical
-    # model/batch shapes — only seed 0 pays the compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_e2e")
+    # model/batch shapes — only seed 0 pays the compiles.  Per-user dir
+    # (overridable) so concurrent users on a shared host neither collide
+    # on permissions nor can poison each other's cache.
+    import tempfile
+    cache_dir = os.environ.get(
+        "MIMM_COMPILE_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), f"jax_cache_e2e_{os.getuid()}"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import csv
@@ -137,6 +146,9 @@ def main():
         dataset_disease_stats=wd + "/training_data/disease_stats.csv",
         save_directory=wd + "/save",
         batch_size=8, max_seq_length=128, num_train_epochs=args.epochs,
+        # bit-identical decoded-crop cache (tests/test_crop_cache.py): the
+        # multi-epoch MI/AE/classifier stages decode each image once
+        decoded_crop_cache=wd + "/crop_cache",
         seed=args.seed)
     bert_cfg = BertConfig(
         vocab_size=tokenizer.vocab_size, hidden_size=128, num_hidden_layers=2,
@@ -150,36 +162,40 @@ def main():
     print("      MI checkpoints:", sorted(
         f for f in os.listdir(tcfg.save_directory) if f.endswith(".bin"))[:3])
 
-    # ---- stage 4: classifier -------------------------------------------
-    print(f"[4/5] classifier ({args.disease}) on the frozen MI encoder")
+    # ---- stages 4+5 per disease: classifier + validate ------------------
+    # the MI (and below, AE) pretraining is per-seed and disease-agnostic,
+    # so a multi-disease sweep shares it and only re-runs these stages
     from mimm_tpu import checkpoint as ckpt
     from mimm_tpu.models.resnet import ResNet256_6_2_1
     from mimm_tpu.train.classifier import (ClassifierModelManager,
                                            make_embedding_fn)
+    from mimm_tpu.validate import validate_MultiModal
 
+    diseases = [d.strip() for d in args.disease.split(",") if d.strip()]
     model = ResNet256_6_2_1(output_channels=1)
     variables = ckpt.load_resnet_from_bin(
         os.path.join(tcfg.save_directory, "pytorch_MI_image_model.bin"))
     embed = make_embedding_fn("multimodal", model, variables)
-    ccfg = tcfg.replace(disease_label=args.disease, init_lr=5e-4)
-    cmgr = ClassifierModelManager(ccfg, embed, [256, 64], val_fraction=0.2)
-    cstate, best_acc, best_path = cmgr.train(num_epochs=args.clf_epochs)
-    if best_path is None:
-        # tiny-fixture artifact: the best-val-accuracy checkpoint rule
-        # (reference parity, main_utils.py:526) never fired because val
-        # accuracy never exceeded 0 — export the final state so the
-        # validation stage has a classifier to load
-        cmgr.save(cstate, f"{args.disease}_epoch{args.clf_epochs}", True)
-    print(f"      best val accuracy: {best_acc:.4f}")
+    mm_reports = {}
+    for disease in diseases:
+        print(f"[4/5] classifier ({disease}) on the frozen MI encoder")
+        ccfg = tcfg.replace(disease_label=disease, init_lr=5e-4)
+        cmgr = ClassifierModelManager(ccfg, embed, [256, 64], val_fraction=0.2)
+        cstate, best_acc, best_path = cmgr.train(num_epochs=args.clf_epochs)
+        if best_path is None:
+            # tiny-fixture artifact: the best-val-accuracy checkpoint rule
+            # (reference parity, main_utils.py:526) never fired because val
+            # accuracy never exceeded 0 — export the final state so the
+            # validation stage has a classifier to load
+            cmgr.save(cstate, f"{disease}_epoch{args.clf_epochs}", True)
+        print(f"      best val accuracy: {best_acc:.4f}")
 
-    # ---- stage 5: validate ---------------------------------------------
-    print("[5/5] validate: held-out accuracy + GDV")
-    from mimm_tpu.validate import validate_MultiModal
-
-    # fixture corpus is tiny: validate on the training-label table
-    vcfg = ccfg
-    accuracy, separability = validate_MultiModal(vcfg, [256, 64], args.disease)
-    print(f"      accuracy={accuracy:.4f} separability={separability:.3e}")
+        print(f"[5/5] validate ({disease}): held-out accuracy + GDV")
+        # fixture corpus is tiny: validate on the training-label table
+        rep = validate_MultiModal(ccfg, [256, 64], disease, extended=True)
+        mm_reports[disease] = rep
+        print(f"      accuracy={rep['accuracy']:.4f} "
+              f"separability={rep['separability']:.3e}")
 
     if args.skip_um:
         print("E2E CHAIN COMPLETE (MM only)")
@@ -196,31 +212,46 @@ def main():
     acfg = tcfg.replace(save_directory=um_dir)
     train_auto_encoder(acfg, num_epochs=args.epochs)
 
-    print(f"[UM 2/3] classifier ({args.disease}) on the frozen AE encoder")
     ae_model = build_ae_model(acfg)
     ae_vars = ckpt.ae_variables_from_state_dict(ckpt.load_state_dict_bin(
         os.path.join(um_dir, f"autoencoder_path_{args.epochs}.bin")))
     um_embed = make_embedding_fn("unimodal", ae_model, ae_vars)
-    uccfg = acfg.replace(disease_label=args.disease, init_lr=5e-4)
-    umgr = ClassifierModelManager(uccfg, um_embed, [256, 64], val_fraction=0.2)
-    um_state, um_best_acc, um_best_path = umgr.train(num_epochs=args.clf_epochs)
-    if um_best_path is None:  # same tiny-fixture artifact as the MM branch
-        umgr.save(um_state, f"{args.disease}_epoch{args.clf_epochs}", True)
-    print(f"      best val accuracy: {um_best_acc:.4f}")
-
-    print("[UM 3/3] validate: held-out accuracy + GDV (AE embeddings)")
-    um_accuracy, um_separability = validate_UniModal(
-        uccfg, [256, 64], args.disease, ae_epoch=args.epochs)
-    print(f"      accuracy={um_accuracy:.4f} separability={um_separability:.3e}")
-
-    print(f"MM vs UM ({args.disease}): accuracy {accuracy:.4f} vs "
-          f"{um_accuracy:.4f}, GDV {separability:.3e} vs {um_separability:.3e}")
     import json as _json
-    print("E2E_RESULT " + _json.dumps({
-        "seed": args.seed, "disease": args.disease,
-        "mm_accuracy": round(float(accuracy), 4),
-        "um_accuracy": round(float(um_accuracy), 4),
-        "mm_gdv": float(separability), "um_gdv": float(um_separability)}))
+    for disease in diseases:
+        print(f"[UM 2/3] classifier ({disease}) on the frozen AE encoder")
+        uccfg = acfg.replace(disease_label=disease, init_lr=5e-4)
+        umgr = ClassifierModelManager(uccfg, um_embed, [256, 64],
+                                      val_fraction=0.2)
+        um_state, um_best_acc, um_best_path = umgr.train(
+            num_epochs=args.clf_epochs)
+        if um_best_path is None:  # same tiny-fixture artifact as MM
+            umgr.save(um_state, f"{disease}_epoch{args.clf_epochs}", True)
+        print(f"      best val accuracy: {um_best_acc:.4f}")
+
+        print(f"[UM 3/3] validate ({disease}): accuracy + GDV (AE embeddings)")
+        um_rep = validate_UniModal(uccfg, [256, 64], disease,
+                                   ae_epoch=args.epochs, extended=True)
+        print(f"      accuracy={um_rep['accuracy']:.4f} "
+              f"separability={um_rep['separability']:.3e}")
+
+        rep = mm_reports[disease]
+        print(f"MM vs UM ({disease}): accuracy {rep['accuracy']:.4f} vs "
+              f"{um_rep['accuracy']:.4f}, GDV {rep['separability']:.3e} vs "
+              f"{um_rep['separability']:.3e}")
+        # confusion tallies let the sweep PROVE an arm is not a constant
+        # (majority-class) predictor: a constant predictor has an empty
+        # predicted-positive or predicted-negative row
+        print("E2E_RESULT " + _json.dumps({
+            "seed": args.seed, "disease": disease,
+            "mm_accuracy": round(float(rep["accuracy"]), 4),
+            "um_accuracy": round(float(um_rep["accuracy"]), 4),
+            "mm_gdv": float(rep["separability"]),
+            "um_gdv": float(um_rep["separability"]),
+            "mm_auc": round(float(rep["auc"]), 4),
+            "um_auc": round(float(um_rep["auc"]), 4),
+            "mm_confusion": {k: int(rep[k]) for k in ("tp", "tn", "fp", "fn")},
+            "um_confusion": {k: int(um_rep[k])
+                             for k in ("tp", "tn", "fp", "fn")}}))
     print("E2E CHAIN COMPLETE")
 
 

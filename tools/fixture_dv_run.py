@@ -9,7 +9,8 @@ The claim the artifact evidences: the DV training loss reproduces the
 reference's curve SHAPE — monotone-trending, strongly negative, still
 falling at the end (reference save_dir/mm_dv_epoch20/training_MI.log
 :12-107 went -450 -> -5447 over 62.5k steps on the 200k-pair corpus).
-Absolute values and step counts differ (72 fixture pairs vs 200k;
+Absolute values and step counts differ (~80 fixture pairs — the exact
+count lands in summary.json — vs 200k;
 derived vocab + RANDOM-INIT bert vs pretrained clinical BERT — the
 real-corpus/pretrained-weights clause is environment-blocked,
 PARITY.md).  Because the text tower starts from random init, the run
@@ -169,9 +170,9 @@ def main():
             "window_epochs": W,
             "windowed_means": [round(w, 4) for w in windowed],
             "windowed_decreasing": f"{win_dec}/{len(windowed) - 1}",
-            "note": "reference epochs average 3125 steps; fixture "
-                    "epochs are 72//batch_size steps, so the windowed "
-                    "series is the step-count-comparable curve",
+            "note": f"reference epochs average 3125 steps; fixture "
+                    f"epochs are {len(feats)}//batch_size steps, so the "
+                    f"windowed series is the step-count-comparable curve",
             "reference_curve": "save_dir/mm_dv_epoch20/training_MI.log "
                                "-450 -> -5447 (200k pairs)",
         }, f, indent=1)
