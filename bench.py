@@ -19,12 +19,14 @@ Pallas shallow-conv stem + pairwise critic kernels (f32-accurate).
 
 Real MIMIC-CXR reports average ~85 WordPiece tokens (fixture corpus:
 p50=77, p90=130, p99=231), so the paired loader buckets reports at
-(64, 96, 128, 192, 320) and the step compiles one variant per bucket;
+(64, 96, 128, 160, 192, 256, 320) and the step compiles one variant per
+bucket;
 the headline number replays that length distribution.  Bucket shares
 below are the fixture-corpus histogram of all 110 shipped reports
 (basic tokenization x1.15 WordPiece-expansion factor + [CLS]/[SEP],
 which reproduces the measured p50/p90/p99 above): 32.7% <=64,
-39.1% <=96, 18.2% <=128, 8.2% <=192, 1.8% <=320.
+39.1% <=96, 18.2% <=128, 6.4% <=160, 1.8% <=192, 0.9% <=256,
+0.9% <=320.
 
 Production training chains cfg.scan_steps same-bucket steps into one
 device dispatch via lax.scan (train/mi.py make_mi_multi_step,
@@ -61,7 +63,12 @@ BATCH = int(os.environ.get("MIMM_BENCH_BATCH", "64"))
 # report-length mix measured on the fixture corpus (see module docstring;
 # tools/derive_buckets.py recomputes it from any TSV corpus).  Keys must
 # equal config.PRODUCTION_SEQ_BUCKETS (pinned by tests/test_presets.py).
-BUCKET_MIX = {64: 0.327, 96: 0.391, 128: 0.182, 192: 0.082, 320: 0.018}
+# Round-5 grid: 160/256 split off the old 192/320 classes (shares from
+# derive_buckets.py on the fixture TSVs; the old 128-class share 0.182
+# stays, 129-160 is 0.064 of the corpus, 161-192 0.018, 193-256 0.009,
+# 257-320 0.009).
+BUCKET_MIX = {64: 0.327, 96: 0.391, 128: 0.182, 160: 0.064,
+              192: 0.018, 256: 0.009, 320: 0.009}
 # env override for A/B probes only; the default IS the production preset's
 SCAN_STEPS = int(os.environ.get("MIMM_BENCH_SCAN_STEPS", "8"))
 WARMUP_STEPS = 2

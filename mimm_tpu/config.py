@@ -338,8 +338,12 @@ class TrainingConfig:
 
 # The production sequence buckets (paired-loader length classes).  bench.py's
 # BUCKET_MIX keys must match these (tests/test_presets.py pins them together);
-# tools/derive_buckets.py re-derives both for a new corpus.
-PRODUCTION_SEQ_BUCKETS = (64, 96, 128, 192, 320)
+# tools/derive_buckets.py re-derives both for a new corpus.  Round 5 added
+# the 160/256 buckets: the fixture-corpus mix is 0.9 ms/step cheaper, and
+# the conservative (one-bucket-up) bound drops 50.7 -> 44.1 ms because the
+# 97-128 class shifts to 160 instead of 192 and 161-192 to 256 instead of
+# 320 (derive_buckets.py --per_bucket_ms scoring, conservative_step_ms).
+PRODUCTION_SEQ_BUCKETS = (64, 96, 128, 160, 192, 256, 320)
 
 # Single source of truth for the two named presets (TrainingConfig.production
 # / .parity, CLI --preset).  Defaults not listed here are shared.

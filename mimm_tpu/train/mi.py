@@ -649,10 +649,17 @@ class MultiModalManager:
     def train(self, token_features, dataset=None, mesh=None,
               num_epochs: Optional[int] = None,
               export_torch_bins: bool = True,
-              resume_from: Optional[str] = None) -> MITrainState:
+              resume_from: Optional[str] = None,
+              stop_after_epoch: Optional[int] = None) -> MITrainState:
         """``resume_from``: path to a native ``mi_epoch<N>.ckpt`` — restores
         the full three-optimizer state + step and continues from the next
-        epoch (capability absent in the reference, SURVEY.md §5)."""
+        epoch (capability absent in the reference, SURVEY.md §5).
+
+        ``stop_after_epoch``: end the run (with a checkpoint) after this
+        many epochs while keeping ``num_epochs`` as the LR schedule's
+        t_total — for partial runs that a later ``resume_from`` continues
+        on the identical schedule (e.g. the warm-start knob A/Bs,
+        tools/fixture_dv_run.py)."""
         from mimm_tpu.data.pipeline import (CXRImageReportDataset, Loader,
                                             device_prefetch, scan_chunks)
 
@@ -817,8 +824,10 @@ class MultiModalManager:
             training_loss.append(epoch_loss)
 
             every = max(1, int(getattr(cfg, "checkpoint_every_epochs", 1)))
+            stopping = stop_after_epoch is not None \
+                and epoch + 1 >= stop_after_epoch
             path = None
-            if (epoch + 1) % every == 0 or epoch + 1 == num_epochs:
+            if (epoch + 1) % every == 0 or epoch + 1 == num_epochs or stopping:
                 path = save_mi_checkpoints(cfg.save_directory, state, epoch + 1,
                                            self.bert_config,
                                            export_torch_bins=export_torch_bins,
@@ -835,6 +844,11 @@ class MultiModalManager:
             writer.epoch_summary(epoch + 1, epoch_loss, time.time() - start, path)
             if loader.skipped:
                 writer.write(epoch=epoch + 1, skipped_records=loader.skipped)
+            if stopping:
+                logger.info("stop_after_epoch=%d reached (schedule t_total "
+                            "stays %d epochs) — checkpointed and stopping",
+                            stop_after_epoch, num_epochs)
+                break
 
         Plot_Training("Epochs", "Value for Loss", "MI training",
                       [training_loss], ["train loss"],

@@ -38,6 +38,10 @@ def _timed(step, state, batch):
 def main():
     import jax
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    # persistent compile cache: variant compiles through the tunnel cost
+    # minutes each; repeat probes of unchanged variants are then free
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 
@@ -94,15 +98,18 @@ def main():
         # fused-attention kernel vs the XLA einsum path at every production
         # bucket length (flash_min_seq_len=1 forces the kernel everywhere).
         # Run after any flash-kernel change to re-derive the dispatch
-        # threshold (BertConfig.flash_min_seq_len).
-        for L_ in (64, 96, 128, 192, 320):
+        # threshold (BertConfig.flash_min_seq_len).  Both arms run the
+        # production u8_dropout so the einsum side pays its real (u8) mask
+        # cost, not the uint32 one.
+        for L_ in (96, 128, 160, 192, 256, 320):
             ids = jnp.asarray(rng.integers(0, 30522,
                                            (BATCH, L_)).astype(np.int32))
             bert_step_time(f"L{L_}_einsum", flash_attention=False,
-                           gelu_tanh=True)
+                           gelu_tanh=True, u8_dropout=True)
             print(json.dumps(out), flush=True)
             bert_step_time(f"L{L_}_flash", flash_attention=True,
-                           flash_min_seq_len=1, gelu_tanh=True)
+                           flash_min_seq_len=1, gelu_tanh=True,
+                           u8_dropout=True)
             print(json.dumps(out), flush=True)
         return
     if mode == "ffn":

@@ -33,6 +33,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_CANDIDATES = (
+    (64, 96, 128, 160, 192, 256, 320),
+    (64, 96, 128, 160, 192, 320),
     (64, 96, 128, 192, 320),
     (48, 64, 96, 128, 192, 320),
     (64, 80, 96, 128, 192, 320),
@@ -66,6 +68,17 @@ def shares_for(lengths, buckets):
     for n in lengths:
         counts[next((b for b in buckets if n <= b), top)] += 1
     return {b: c / len(lengths) for b, c in counts.items()}
+
+
+def conservative_shares(shares):
+    """bench.py's robustness bound: every length class shifted ONE bucket
+    longer (the largest absorbs the tail).  A denser bucket grid makes
+    this bound tighter — the round-5 motivation for the 160/256 buckets."""
+    buckets = sorted(shares)
+    shifted = {b: 0.0 for b in buckets}
+    for i, b in enumerate(buckets):
+        shifted[buckets[min(i + 1, len(buckets) - 1)]] += shares[b]
+    return shifted
 
 
 def main():
@@ -120,16 +133,21 @@ def main():
         "candidates": [],
     }
     for buckets in candidates:
+        shares = shares_for(lengths, buckets)
         entry = {"buckets": list(buckets),
-                 "shares": {str(b): round(s, 4)
-                            for b, s in shares_for(lengths, buckets).items()}}
+                 "shares": {str(b): round(s, 4) for b, s in shares.items()}}
         if cost:
             entry["expected_step_ms"] = round(
+                sum(s * cost(b) for b, s in shares.items()), 3)
+            entry["conservative_step_ms"] = round(
                 sum(s * cost(b)
-                    for b, s in shares_for(lengths, buckets).items()), 3)
+                    for b, s in conservative_shares(shares).items()), 3)
         report["candidates"].append(entry)
+    # rank by the conservative bound (the binding round-5 target), with
+    # the expected mix as tiebreaker — both derived from measured timings
     best = min(report["candidates"],
-               key=lambda e: e.get("expected_step_ms", len(e["buckets"]))) \
+               key=lambda e: (e["conservative_step_ms"],
+                              e["expected_step_ms"])) \
         if cost else report["candidates"][0]
     report["recommended_seq_buckets"] = ",".join(str(b)
                                                  for b in best["buckets"])

@@ -55,6 +55,22 @@ def main():
                     "(PARITY.md).")
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "fixture_dv_curve"))
+    ap.add_argument("--stop_epoch", type=int, default=0,
+                    help="checkpoint and stop after this epoch while the "
+                         "LR schedule keeps t_total=--epochs (partial "
+                         "runs that --resume_from continues)")
+    ap.add_argument("--resume_from", default="",
+                    help="mi_epoch<N>.ckpt from a prior run with the same "
+                         "--epochs; continues on the identical schedule "
+                         "(warm-start knob A/Bs)")
+    ap.add_argument("--knobs", default="",
+                    help="comma-separated config overrides, e.g. "
+                         "'gelu_tanh=1,u8_dropout=1,compute_dtype=bfloat16,"
+                         "adamw_moment_dtype=bfloat16'.  gelu_tanh/"
+                         "u8_dropout/flash_attention/flash_min_seq_len "
+                         "route to BertConfig, the rest to TrainingConfig "
+                         "(production-knob trajectory A/Bs vs the parity "
+                         "default)")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +125,8 @@ def main():
     feats = load_and_cache_examples(dcfg.training_text_dir, 320, tokenizer)
 
     print(f"[3/3] MI pretraining: DV, {args.epochs} epochs, "
-          f"bert-base dims, exact parity numerics")
+          f"bert-base dims, parity numerics"
+          + (f" + knobs [{args.knobs}]" if args.knobs else ""))
     tcfg = TrainingConfig.parity().replace(
         image_dir=REF + "/images/",
         text_data_dir=dcfg.training_text_dir,
@@ -121,15 +138,31 @@ def main():
         # bit-identical decoded-crop cache (tests/test_crop_cache.py):
         # multi-hundred-epoch runs decode each image once, not per epoch
         decoded_crop_cache=wd + "/crop_cache",
-        checkpoint_every_epochs=1_000_000)  # final epoch only
+        checkpoint_every_epochs=1_000_000)  # final/stop epoch only
+    bert_kw = {}
+    for kv in filter(None, args.knobs.split(",")):
+        k, v = kv.split("=", 1)
+        if k in ("gelu_tanh", "u8_dropout", "flash_attention",
+                 "flash_min_seq_len"):
+            bert_kw[k] = int(v) if v.isdigit() else v
+            if k in ("gelu_tanh", "u8_dropout", "flash_attention"):
+                bert_kw[k] = bool(int(v))
+        else:
+            cur = getattr(tcfg, k)
+            tcfg = tcfg.replace(**{k: type(cur)(v)
+                                   if not isinstance(cur, bool)
+                                   else v.lower() in ("1", "true")})
     bert_cfg = BertConfig(vocab_size=tokenizer.vocab_size, num_classes=1,
                           flash_attention=False,  # bert-base dims
                           hidden_dropout_prob=args.bert_dropout,
-                          attention_probs_dropout_prob=args.bert_dropout)
+                          attention_probs_dropout_prob=args.bert_dropout,
+                          **bert_kw)
     mgr = MultiModalManager(tcfg, bert_config=bert_cfg,
                             load_pretrained_bert=False)
     mgr.train(token_features=feats, num_epochs=args.epochs,
-              export_torch_bins=False)
+              export_torch_bins=False,
+              resume_from=args.resume_from or None,
+              stop_after_epoch=args.stop_epoch or None)
 
     # ---- collect the artifact -------------------------------------------
     losses = []
@@ -137,7 +170,9 @@ def main():
         rec = json.loads(line)
         if "epoch_loss" in rec:
             losses.append((rec["epoch"], rec["epoch_loss"]))
-    assert len(losses) == args.epochs, losses
+    first_epoch = losses[0][0] if losses else 1
+    expected = (args.stop_epoch or args.epochs) - (first_epoch - 1)
+    assert len(losses) == expected, (len(losses), expected, losses[:3])
     values = [v for _, v in losses]
     decreasing = sum(1 for a, b in zip(values, values[1:]) if b < a)
     # The reference's per-epoch points average 3125 optimizer steps
@@ -163,6 +198,9 @@ def main():
         json.dump({
             "epochs": args.epochs, "batch_size": args.batch_size,
             "init_lr": args.init_lr, "bert_dropout": args.bert_dropout,
+            "knobs": args.knobs, "stop_epoch": args.stop_epoch,
+            "resumed_from": args.resume_from,
+            "first_epoch": first_epoch,
             "pairs": len(feats), "vocab_size": tokenizer.vocab_size,
             "model": "bert-base dims + ResNet256_6_2_1, parity numerics",
             "epoch_losses": values,
