@@ -100,8 +100,11 @@ def main():
         # Run after any flash-kernel change to re-derive the dispatch
         # threshold (BertConfig.flash_min_seq_len).  Both arms run the
         # production u8_dropout so the einsum side pays its real (u8) mask
-        # cost, not the uint32 one.
-        for L_ in (96, 128, 160, 192, 256, 320):
+        # cost, not the uint32 one.  FLASH_LENGTHS="160,192" restricts the
+        # probe (each arm costs a tunnel compile).
+        lengths = tuple(int(x) for x in os.environ.get(
+            "FLASH_LENGTHS", "96,128,160,192,256,320").split(","))
+        for L_ in lengths:
             ids = jnp.asarray(rng.integers(0, 30522,
                                            (BATCH, L_)).astype(np.int32))
             bert_step_time(f"L{L_}_einsum", flash_attention=False,
