@@ -98,6 +98,14 @@ class BertConfig:
     # dropout/context in one kernel, probs+masks never reach HBM; f32
     # softmax inside, dropout drawn from the on-core PRNG.
     flash_attention: bool = False
+    # whole-sample flash grid: one grid step per SAMPLE (all heads
+    # batched) instead of per (sample, head) — amortizes per-step kernel
+    # overhead at short L where each head's matmuls are tiny
+    # (ops/flash_attention.py _ws_* kernels).  Engaged for
+    # L <= flash_whole_sample_max_len (0 = never).  NOTE: the in-kernel
+    # dropout stream is seeded per-sample here (per-(sample, head) in
+    # the default grid), so the two variants draw different masks.
+    flash_whole_sample_max_len: int = 0
     # Only use the Pallas kernel at/above this sequence length.  Measured
     # on v5e (B=64, fwd+bwd+opt, bf16-operand kernel): the XLA einsum path
     # wins below ~192 (L=128: 36.6 vs 48.2 ms) because the kernel's
@@ -215,8 +223,10 @@ class BertSelfAttention(nn.Module):
             else:
                 seed = jnp.zeros((1, 1), jnp.int32)
             bias_row = attn_bias[:, 0, 0, :].astype(jnp.float32)     # (B, L)
+            ws = seq_len <= getattr(cfg, "flash_whole_sample_max_len", 0)
             ctx = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3), bias_row, seed, rate)
+                                  v.transpose(0, 2, 1, 3), bias_row, seed, rate,
+                                  ws)
             return ctx.transpose(0, 2, 1, 3).reshape(b, -1, h)
 
         scores = jnp.einsum("bqnd,bknd->bnqk", q, k) / jnp.sqrt(hd).astype(self.dtype)

@@ -117,12 +117,89 @@ def _specs(B, H, L, D):
     return qkv, bias, seed
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_attention(q, k, v, bias, seed, rate: float = 0.0):
+# ---- whole-sample variant: grid (B,), all H heads per step -------------
+# At L < 256 a (b, h) grid step's matmuls are tiny ((L, D) @ (D, L) with
+# D=64 — half-idle MXU) and the kernel is overhead/pipeline-bound; one
+# grid step per SAMPLE amortizes that over the 12 heads with batched
+# dots, at VMEM cost H*L*D*(3 inputs + 1 out) + an (H, L, L) f32 score
+# tile (bert-base L=192: ~0.9 MB + 1.8 MB — comfortably scoped).
+
+def _probs_bh(q, k, bias_row, scale):
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # (H, L, L)
+    s = s * scale + bias_row[None, None, :]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _ws_dropout_mask(seed_ref, rate, shape):
+    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(min(0xFFFFFFFF, int(rate * 4294967296.0)))
+    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+
+
+def _ws_fwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref,
+                   o_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    p = _probs_bh(q, k, bias_ref[0], scale)
+    if rate > 0.0:
+        p = p * _ws_dropout_mask(seed_ref, rate, p.shape)
+    o_ref[0, :, :, :] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _ws_bwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref,
+                   do_ref, dq_ref, dk_ref, dv_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    in_dtype = q.dtype
+    p = _probs_bh(q, k, bias_ref[0], scale)
+    if rate > 0.0:
+        m = _ws_dropout_mask(seed_ref, rate, p.shape)
+        pd = p * m
+    else:
+        m = None
+        pd = p
+    dv_ref[0, :, :, :] = jax.lax.dot_general(
+        pd.astype(in_dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dpd = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    dp = dpd * m if m is not None else dpd
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(in_dtype)
+    dq_ref[0, :, :, :] = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0, :, :, :] = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _ws_specs(B, H, L, D):
+    qkv = pl.BlockSpec((1, H, L, D), lambda b: (b, 0, 0, 0))
+    bias = pl.BlockSpec((1, L), lambda b: (b, 0))
+    seed = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
+    return qkv, bias, seed
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention(q, k, v, bias, seed, rate: float = 0.0,
+                    whole_sample: bool = False):
     """q,k,v: (B, H, L, D); bias: (B, L) additive key bias; seed: (1,1) int32.
     Returns context (B, H, L, D).  ``rate``: dropout on the attention probs.
-    """
-    return _fa_fwd(q, k, v, bias, seed, rate)[0]
+    ``whole_sample``: grid over (B,) with all H heads batched per step
+    instead of (B, H) — amortizes per-step overhead at short L where the
+    per-head matmuls are tiny (BertConfig.flash_whole_sample)."""
+    return _fa_fwd(q, k, v, bias, seed, rate, whole_sample)[0]
 
 
 def _host_mask(seed, rate, shape):
@@ -147,11 +224,22 @@ def _host_attention(q, k, v, bias, seed, rate):
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
-def _fa_fwd(q, k, v, bias, seed, rate):
+def _fa_fwd(q, k, v, bias, seed, rate, whole_sample=False):
     if _interpret() and rate > 0.0:
         return _host_attention(q, k, v, bias, seed, rate), (q, k, v, bias, seed)
     B, H, L, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    if whole_sample:
+        qkv, bias_s, seed_s = _ws_specs(B, H, L, D)
+        out = pl.pallas_call(
+            partial(_ws_fwd_kernel, rate, scale),
+            grid=(B,),
+            in_specs=[qkv, qkv, qkv, bias_s, seed_s],
+            out_specs=qkv,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=_interpret(),
+        )(q, k, v, bias, seed)
+        return out, (q, k, v, bias, seed)
     qkv, bias_s, seed_s = _specs(B, H, L, D)
     out = pl.pallas_call(
         partial(_fwd_kernel, rate, scale),
@@ -164,7 +252,7 @@ def _fa_fwd(q, k, v, bias, seed, rate):
     return out, (q, k, v, bias, seed)
 
 
-def _fa_bwd(rate, res, do):
+def _fa_bwd(rate, whole_sample, res, do):
     q, k, v, bias, seed = res
     if _interpret() and rate > 0.0:
         _, vjp = jax.vjp(lambda a, b, c: _host_attention(a, b, c, bias, seed,
@@ -173,6 +261,17 @@ def _fa_bwd(rate, res, do):
         return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed)
     B, H, L, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    if whole_sample:
+        qkv, bias_s, seed_s = _ws_specs(B, H, L, D)
+        dq, dk, dv = pl.pallas_call(
+            partial(_ws_bwd_kernel, rate, scale),
+            grid=(B,),
+            in_specs=[qkv, qkv, qkv, bias_s, seed_s, qkv],
+            out_specs=[qkv, qkv, qkv],
+            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+            interpret=_interpret(),
+        )(q, k, v, bias, seed, do)
+        return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed)
     qkv, bias_s, seed_s = _specs(B, H, L, D)
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, rate, scale),

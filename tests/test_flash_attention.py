@@ -29,16 +29,18 @@ def qkv():
     return q, k, v, bias
 
 
-def test_forward_matches_reference(qkv):
+@pytest.mark.parametrize("whole_sample", [False, True])
+def test_forward_matches_reference(qkv, whole_sample):
     q, k, v, bias = qkv
     seed = jnp.zeros((1, 1), jnp.int32)
     want = _reference_attention(q, k, v, bias)
-    got = flash_attention(q, k, v, bias, seed, 0.0)
+    got = flash_attention(q, k, v, bias, seed, 0.0, whole_sample)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_gradients_match_reference(qkv):
+@pytest.mark.parametrize("whole_sample", [False, True])
+def test_gradients_match_reference(qkv, whole_sample):
     q, k, v, bias = qkv
     seed = jnp.zeros((1, 1), jnp.int32)
     cot = jax.random.normal(jax.random.PRNGKey(7), q.shape)
@@ -50,7 +52,8 @@ def test_gradients_match_reference(qkv):
         lambda x, y, z: _reference_attention(x, y, z, bias), a, b, c),
         argnums=(0, 1, 2))(q, k, v)
     g_got = jax.grad(lambda a, b, c: loss(
-        lambda x, y, z: flash_attention(x, y, z, bias, seed, 0.0), a, b, c),
+        lambda x, y, z: flash_attention(x, y, z, bias, seed, 0.0,
+                                        whole_sample), a, b, c),
         argnums=(0, 1, 2))(q, k, v)
     for r, g in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
@@ -88,4 +91,12 @@ def test_bert_with_flash_attention_matches_einsum_path():
                                 flash_min_seq_len=0))
     _, pooled_fa = m_fa.apply(variables, ids, attention_mask=mask)
     np.testing.assert_allclose(np.asarray(pooled_fa), np.asarray(pooled_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # whole-sample grid engages below the threshold; same numerics
+    m_ws = BertModel(BertConfig(**cfg_base, flash_attention=True,
+                                flash_min_seq_len=0,
+                                flash_whole_sample_max_len=64))
+    _, pooled_ws = m_ws.apply(variables, ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(pooled_ws), np.asarray(pooled_ref),
                                rtol=1e-4, atol=1e-5)

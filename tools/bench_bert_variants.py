@@ -114,6 +114,12 @@ def main():
                            flash_min_seq_len=1, gelu_tanh=True,
                            u8_dropout=True)
             print(json.dumps(out), flush=True)
+            if os.environ.get("FLASH_WS"):
+                bert_step_time(f"L{L_}_flash_ws", flash_attention=True,
+                               flash_min_seq_len=1, gelu_tanh=True,
+                               u8_dropout=True,
+                               flash_whole_sample_max_len=L_)
+                print(json.dumps(out), flush=True)
         return
     if mode == "ffn":
         # fused-FFN Pallas kernel A/B at the production bucket lengths
