@@ -342,6 +342,47 @@ def test_mi_resume_continues_from_checkpoint(cfg):
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+def test_mi_stop_after_epoch_resumes_on_same_schedule(cfg):
+    """stop_after_epoch checkpoints mid-run while num_epochs stays the LR
+    schedule's t_total; resuming lands on the uninterrupted trajectory
+    (the warm-start A/B contract, tools/knob_trajectories.py)."""
+    import jax
+    from mimm_tpu.models.bert import BertConfig
+    from mimm_tpu.train.mi import MultiModalManager
+
+    cfg = cfg.replace(img_size=256, max_seq_length=16, num_train_epochs=3)
+    tiny_bert = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=64,
+                           max_position_embeddings=32, num_classes=1)
+    ds = FakePairedDataset(n=8, img=256, seq=16)
+
+    mgr = MultiModalManager(cfg, bert_config=tiny_bert, load_pretrained_bert=False)
+    s_full = mgr.train(token_features=None, dataset=ds, num_epochs=3,
+                       mesh=small_mesh(), export_torch_bins=False)
+
+    # partial run in its own save dir, checkpoint cadence that would NOT
+    # fire at epoch 1 — the stop itself must write the checkpoint
+    cfg2 = cfg.replace(save_directory=cfg.save_directory + "_part",
+                       checkpoint_every_epochs=10)
+    mgr2 = MultiModalManager(cfg2, bert_config=tiny_bert,
+                             load_pretrained_bert=False)
+    s_part = mgr2.train(token_features=None, dataset=ds, num_epochs=3,
+                        mesh=small_mesh(), export_torch_bins=False,
+                        stop_after_epoch=1)
+    assert int(s_part.step) == 2  # 2 steps/epoch, stopped after epoch 1
+    ck = os.path.join(cfg2.save_directory, "mi_epoch1.ckpt")
+    assert os.path.exists(ck)  # the stop wrote an off-cadence checkpoint
+
+    mgr3 = MultiModalManager(cfg, bert_config=tiny_bert, load_pretrained_bert=False)
+    s_res = mgr3.train(token_features=None, dataset=ds, num_epochs=3,
+                       mesh=small_mesh(), export_torch_bins=False,
+                       resume_from=ck)
+    assert int(s_res.step) == int(s_full.step) == 6
+    a = jax.device_get(s_full.critic_params[0]["w"])
+    b = jax.device_get(s_res.critic_params[0]["w"])
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
 def test_multi_step_scan_matches_sequential(cfg):
     """lax.scan over K stacked batches == K sequential train steps."""
     import jax
