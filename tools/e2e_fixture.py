@@ -149,6 +149,13 @@ def main():
         # bit-identical decoded-crop cache (tests/test_crop_cache.py): the
         # multi-epoch MI/AE/classifier stages decode each image once
         decoded_crop_cache=wd + "/crop_cache",
+        # end-of-stage checkpoints only: per-epoch ckpt + 3-file .bin
+        # exports cost seconds/epoch on this host and the chain only ever
+        # loads the final ones
+        checkpoint_every_epochs=args.epochs,
+        # production loader layout: u8 crops widened on device — 4x less
+        # host->device transfer (the tunnel-bound cost of fixture epochs)
+        compact_transfer=True,
         seed=args.seed)
     bert_cfg = BertConfig(
         vocab_size=tokenizer.vocab_size, hidden_size=128, num_hidden_layers=2,

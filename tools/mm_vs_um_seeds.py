@@ -49,8 +49,9 @@ def mean_std(xs):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
-    ap.add_argument("--epochs", type=int, default=30,
-                    help="MI / AE pretraining epochs per seed")
+    ap.add_argument("--epochs", type=int, default=20,
+                    help="MI / AE pretraining epochs per seed (the "
+                         "reference trains both arms 20 epochs)")
     ap.add_argument("--bert_dropout", type=float, default=0.0,
                     help="passed to e2e_fixture; 0 lets the tiny random-"
                          "init MI stage actually learn (fixture_dv_run"
