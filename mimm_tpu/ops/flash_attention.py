@@ -120,73 +120,81 @@ def _specs(B, H, L, D):
 # ---- whole-sample variant: grid (B,), all H heads per step -------------
 # At L < 256 a (b, h) grid step's matmuls are tiny ((L, D) @ (D, L) with
 # D=64 — half-idle MXU) and the kernel is overhead/pipeline-bound; one
-# grid step per SAMPLE amortizes that over the 12 heads with batched
-# dots, at VMEM cost H*L*D*(3 inputs + 1 out) + an (H, L, L) f32 score
-# tile (bert-base L=192: ~0.9 MB + 1.8 MB — comfortably scoped).
+# grid step per SAMPLE amortizes that over the heads with an UNROLLED
+# per-head loop of the same 2D dots the default kernel runs (VMEM cost
+# H*L*D*(3 inputs + 1 out) + one (L, L) f32 score tile at a time —
+# bert-base L=192: ~0.9 MB + 150 KB, comfortably scoped).  The dropout
+# mask per head is seeded exactly like the (b, h) grid (seed + b*H + h),
+# so both variants draw bit-identical masks.
 
-def _probs_bh(q, k, bias_row, scale):
-    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)  # (H, L, L)
-    s = s * scale + bias_row[None, None, :]
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
-
-
-def _ws_dropout_mask(seed_ref, rate, shape):
-    pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-    bits = pltpu.prng_random_bits(shape)
-    threshold = jnp.uint32(min(0xFFFFFFFF, int(rate * 4294967296.0)))
-    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
-    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+def _ws_head_seed(seed_ref, h, H):
+    return seed_ref[0, 0] + pl.program_id(0) * H + h
 
 
 def _ws_fwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref,
                    o_ref):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    p = _probs_bh(q, k, bias_ref[0], scale)
-    if rate > 0.0:
-        p = p * _ws_dropout_mask(seed_ref, rate, p.shape)
-    o_ref[0, :, :, :] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    H = q_ref.shape[1]
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        p = _probs(q, k, bias_ref[0], scale)
+        if rate > 0.0:
+            pltpu.prng_seed(_ws_head_seed(seed_ref, h, H))
+            bits = pltpu.prng_random_bits(p.shape)
+            threshold = jnp.uint32(min(0xFFFFFFFF,
+                                       int(rate * 4294967296.0)))
+            keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+            p = p * jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)),
+                              jnp.float32(0.0))
+        o_ref[0, h, :, :] = jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32) \
+            .astype(o_ref.dtype)
 
 
 def _ws_bwd_kernel(rate, scale, q_ref, k_ref, v_ref, bias_ref, seed_ref,
                    do_ref, dq_ref, dk_ref, dv_ref):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    in_dtype = q.dtype
-    p = _probs_bh(q, k, bias_ref[0], scale)
-    if rate > 0.0:
-        m = _ws_dropout_mask(seed_ref, rate, p.shape)
-        pd = p * m
-    else:
-        m = None
-        pd = p
-    dv_ref[0, :, :, :] = jax.lax.dot_general(
-        pd.astype(in_dtype), do, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dpd = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    dp = dpd * m if m is not None else dpd
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = (ds * scale).astype(in_dtype)
-    dq_ref[0, :, :, :] = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0, :, :, :] = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    H = q_ref.shape[1]
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+        in_dtype = q.dtype
+        p = _probs(q, k, bias_ref[0], scale)
+        if rate > 0.0:
+            pltpu.prng_seed(_ws_head_seed(seed_ref, h, H))
+            bits = pltpu.prng_random_bits(p.shape)
+            threshold = jnp.uint32(min(0xFFFFFFFF,
+                                       int(rate * 4294967296.0)))
+            keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+            m = jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)),
+                          jnp.float32(0.0))
+            pd = p * m
+        else:
+            m = None
+            pd = p
+        dv_ref[0, h, :, :] = jax.lax.dot_general(
+            pd.astype(in_dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dpd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dp = dpd * m if m is not None else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(in_dtype)
+        dq_ref[0, h, :, :] = jnp.dot(ds, k,
+                                     preferred_element_type=jnp.float32) \
+            .astype(dq_ref.dtype)
+        dk_ref[0, h, :, :] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def _ws_specs(B, H, L, D):
     qkv = pl.BlockSpec((1, H, L, D), lambda b: (b, 0, 0, 0))
-    bias = pl.BlockSpec((1, L), lambda b: (b, 0))
+    # bias rides as (B, 1, L), same as the (b, h) grid — trailing dims
+    # equal the array dims for Mosaic's tiling rule
+    bias = pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0))
     seed = pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM)
     return qkv, bias, seed
 
@@ -238,7 +246,7 @@ def _fa_fwd(q, k, v, bias, seed, rate, whole_sample=False):
             out_specs=qkv,
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             interpret=_interpret(),
-        )(q, k, v, bias, seed)
+        )(q, k, v, bias[:, None, :], seed)
         return out, (q, k, v, bias, seed)
     qkv, bias_s, seed_s = _specs(B, H, L, D)
     out = pl.pallas_call(
@@ -270,7 +278,7 @@ def _fa_bwd(rate, whole_sample, res, do):
             out_specs=[qkv, qkv, qkv],
             out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
             interpret=_interpret(),
-        )(q, k, v, bias, seed, do)
+        )(q, k, v, bias[:, None, :], seed, do)
         return dq, dk, dv, jnp.zeros_like(bias), jnp.zeros_like(seed)
     qkv, bias_s, seed_s = _specs(B, H, L, D)
     dq, dk, dv = pl.pallas_call(
