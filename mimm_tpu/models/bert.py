@@ -98,14 +98,18 @@ class BertConfig:
     # dropout/context in one kernel, probs+masks never reach HBM; f32
     # softmax inside, dropout drawn from the on-core PRNG.
     flash_attention: bool = False
-    # whole-sample flash grid: one grid step per SAMPLE (all heads
-    # batched) instead of per (sample, head) — amortizes per-step kernel
-    # overhead at short L where each head's matmuls are tiny
-    # (ops/flash_attention.py _ws_* kernels).  Engaged for
-    # L <= flash_whole_sample_max_len (0 = never).  NOTE: the in-kernel
-    # dropout stream is seeded per-sample here (per-(sample, head) in
-    # the default grid), so the two variants draw different masks.
-    flash_whole_sample_max_len: int = 0
+    # whole-sample flash grid: one grid step per SAMPLE with an unrolled
+    # per-head loop instead of a (sample, head) grid — amortizes
+    # per-grid-step kernel overhead (ops/flash_attention.py _ws_*
+    # kernels; dropout masks bit-identical to the (b, h) grid).  Engaged
+    # for L <= flash_whole_sample_max_len (0 = never).  Measured v5e
+    # B=64 BERT step (fwd+bwd+opt, u8 dropout, round 5): ws beats the
+    # (b,h) grid at every probed length and beats einsum at L=320
+    # (113.6 vs flash 120.0 vs einsum 131.3 ms); einsum still wins
+    # L<=192 (53.3/63.1 vs ws 56.4/63.7 at 160/192), so the
+    # flash_min_seq_len=256 dispatch gate stands and every
+    # flash-dispatched length uses the ws grid.
+    flash_whole_sample_max_len: int = 512
     # Only use the Pallas kernel at/above this sequence length.  Measured
     # on v5e (B=64, fwd+bwd+opt, bf16-operand kernel): the XLA einsum path
     # wins below ~192 (L=128: 36.6 vs 48.2 ms) because the kernel's
