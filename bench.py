@@ -119,8 +119,9 @@ def main():
     # Dropout uses the hardware PRNG via cfg.rng_impl="unsafe_rbg" (the
     # production default the Managers also run) — no global RNG override,
     # so bench measures exactly the Manager's step.
-    # persistent compile cache: 6 step variants at ~1 min/compile through
-    # the tunnel dominate a cold run; repeat runs skip them all
+    # persistent compile cache: 8 step variants (7 buckets + padded) at
+    # minutes/compile through the tunnel dominate a cold run; repeat runs
+    # skip them all
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
